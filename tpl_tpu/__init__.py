@@ -1,0 +1,19 @@
+"""
+tpl_tpu — a TPU-native trajectory planning and MPC framework.
+
+A from-scratch re-design of the capabilities of uulm-mrm/tpl
+(reference snapshot 2025-04-18) as JAX/XLA/Pallas programs:
+
+- ``tpl_tpu.ops``         core math substrate (geometry, splines, profiles)
+- ``tpl_tpu.optim``       batched augmented-Lagrangian iLQR solver core
+                          (replaces the reference's sympy->C "genopt" pipeline,
+                          reference: library/tpl/optim/genopt.py)
+- ``tpl_tpu.environment`` environment model (maps, tracking, prediction)
+- ``tpl_tpu.planning``    planners (RSTP, DP grid planners, sampling planners)
+- ``tpl_tpu.control``     tracking controllers (MPC with dead-time compensation, ...)
+- ``tpl_tpu.simulation``  closed-loop simulation, scenarios, rule checking
+- ``tpl_tpu.application`` environment/planning/control application loops
+- ``tpl_tpu.parallel``    device-mesh scale-out (shard_map over scenario batches)
+"""
+
+__version__ = "0.1.0"

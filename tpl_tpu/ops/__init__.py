@@ -1,0 +1,33 @@
+from tpl_tpu.ops.interp import (
+    normalize_angle,
+    short_angle_dist,
+    lerp,
+    lerp_angle,
+    box_interp,
+    blerp,
+)
+from tpl_tpu.ops.geometry import (
+    Projection,
+    project,
+    project_many,
+    resample,
+    interp_resampled_path,
+    resample_path,
+    path_segment,
+    build_route,
+    convex_hull,
+    point_in_polygon,
+    intersect_polygons,
+)
+from tpl_tpu.ops.splines import (
+    PolyCubic,
+    PolyQuintic,
+    PolySeptic,
+    PolyQuartic,
+)
+from tpl_tpu.ops.profile import (
+    rampify_profile,
+    curv_to_vel_profile,
+    zero_after_first_zero,
+    add_vel_constraint,
+)
