@@ -11,5 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-selects the remote TPU backend via
+# jax.config; override it back to CPU for the test suite.
+jax.config.update("jax_platforms", "cpu")
+
 # Oracle tests compare against scipy/numpy references in double precision.
 jax.config.update("jax_enable_x64", True)

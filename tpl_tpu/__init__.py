@@ -17,3 +17,19 @@ A from-scratch re-design of the capabilities of uulm-mrm/tpl
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: solver programs are compiled once per
+# (problem, capacity, dtype) and reused across processes/runs.
+_cache_dir = _os.environ.get(
+    "TPL_TPU_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "tpl_tpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is an optimization only
+    pass

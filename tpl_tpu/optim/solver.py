@@ -1,0 +1,257 @@
+"""
+Stateful solver wrapper around the jitted iLQR core.
+
+Presents the same working surface as the reference's generated solver
+classes (reference: library/tpl/optim/templates/optim.c:1654-1890 python
+attributes: ``x``, ``u``, ``params``, ``u_min``/``u_max``,
+``lagrange_multiplier``, ``barrier_weight``, ``lg_mult_limit``, ``horizon``,
+``step``, ``max_iterations``, ``integrator_type``, and methods ``update()``,
+``shift(n)``, ``dynamics(x, u, t, dt)``), so planner and controller drivers
+read identically — but the solve itself is one jit-compiled XLA program.
+
+Host buffers are numpy at fixed capacity; only the active horizon slice is
+exposed. Array params are edge-padded to capacity so the clamped lerp
+lookups behave exactly like the reference's variable-length arrays.
+"""
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpl_tpu.optim import ilqr
+from tpl_tpu.optim.ilqr import EULER, HEUN, RK4
+from tpl_tpu.optim.problems import ArraySpec
+
+
+class SolverParams:
+    """Attribute-style access to the parameter buffers."""
+
+    def __init__(self, spec):
+        object.__setattr__(self, "_spec", spec)
+        object.__setattr__(self, "_values", {})
+        for name, s in spec.items():
+            if hasattr(s, "capacity"):
+                self._values[name] = np.full(s.capacity, s.default,
+                                             dtype=np.float64)
+            else:
+                self._values[name] = float(s)
+
+    def __getattr__(self, name):
+        try:
+            return object.__getattribute__(self, "_values")[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        values = object.__getattribute__(self, "_values")
+        spec = object.__getattribute__(self, "_spec")
+        if name not in values:
+            raise AttributeError(f"unknown param {name!r}")
+        s = spec[name]
+        if hasattr(s, "capacity"):
+            arr = np.asarray(value, dtype=np.float64).reshape(-1)
+            n = min(len(arr), s.capacity)
+            buf = values[name]
+            buf[:n] = arr[:n]
+            if n > 0:
+                buf[n:] = arr[n - 1]   # edge padding preserves clamp semantics
+        else:
+            values[name] = float(value)
+
+    def merge(self, obj):
+        """Copy matching attributes from a plain params object."""
+        src = obj if isinstance(obj, dict) else vars(obj)
+        for k, v in src.items():
+            if k in self._values:
+                setattr(self, k, v)
+
+    def as_dict(self, dtype):
+        out = {}
+        for name, v in self._values.items():
+            if isinstance(v, np.ndarray):
+                out[name] = jnp.asarray(v, dtype)
+            else:
+                out[name] = jnp.asarray(v, dtype)
+        return out
+
+
+class Solver:
+    """Drop-in iLQR solver instance for one problem configuration."""
+
+    EULER = EULER
+    HEUN = HEUN
+    RK4 = RK4
+
+    def __init__(self, problem, param_spec, horizon_max,
+                 integrator_type=EULER, dtype=jnp.float32):
+        self.problem = problem
+        self.horizon_max = horizon_max
+        self.dtype = dtype
+        self._integrator = integrator_type
+        self._update_fns = {}
+
+        nx, nu = problem.nx, problem.nu
+        nc = max(problem.nc, 1)
+
+        H = horizon_max
+        self._x = np.zeros((H + 1, nx))
+        self._u = np.zeros((H, nu))
+        self._lam = np.zeros((H, nc))
+        self._mu_step = 0
+        self._u_min = np.full((H, nu), -np.inf)
+        self._u_max = np.full((H, nu), np.inf)
+
+        self.params = SolverParams(param_spec)
+
+        self.horizon = min(20, H)       # optim.c default T=20
+        self.step = 0.05                # optim.c default dt
+        self.max_iterations = 5
+        self.max_lg_iterations = 1
+        self.min_rel_cost_change = 1e-6
+        self.barrier_weight = np.ones(nc)
+        self._lg_mult_limit = np.full(nc, np.inf)
+
+        self.traj_costs = 0.0
+        self.runtime = 0.0
+
+    # --- genopt-style attribute surface -------------------------------
+
+    @property
+    def T(self):
+        return self.horizon
+
+    @property
+    def dt(self):
+        return self.step
+
+    @property
+    def integrator_type(self):
+        return self._integrator
+
+    @integrator_type.setter
+    def integrator_type(self, v):
+        self._integrator = int(v)
+
+    @property
+    def x(self):
+        return self._x[:self.horizon + 1]
+
+    @x.setter
+    def x(self, v):
+        self._x[:self.horizon + 1] = v
+
+    @property
+    def u(self):
+        return self._u[:self.horizon]
+
+    @u.setter
+    def u(self, v):
+        v = np.asarray(v, dtype=np.float64)
+        if v.ndim == 1:
+            v = v[:, None]
+        self._u[:self.horizon] = v
+
+    @property
+    def u_min(self):
+        return self._u_min[:self.horizon]
+
+    @u_min.setter
+    def u_min(self, v):
+        self._u_min[:self.horizon] = v
+
+    @property
+    def u_max(self):
+        return self._u_max[:self.horizon]
+
+    @u_max.setter
+    def u_max(self, v):
+        self._u_max[:self.horizon] = v
+
+    @property
+    def lagrange_multiplier(self):
+        return self._lam[:self.horizon]
+
+    @property
+    def lg_mult_limit(self):
+        return self._lg_mult_limit
+
+    @lg_mult_limit.setter
+    def lg_mult_limit(self, v):
+        self._lg_mult_limit[:] = v
+
+    @lagrange_multiplier.setter
+    def lagrange_multiplier(self, v):
+        v = np.asarray(v, dtype=np.float64)
+        if v.ndim == 1:
+            v = v[:, None]
+        self._lam[:self.horizon] = v
+
+    # --- methods ------------------------------------------------------
+
+    def shift(self, amount):
+        """Warm-start shift (optim.c:1162-1177)."""
+        amount = max(0, int(amount))
+        T = self.horizon
+        idx_x = np.minimum(np.arange(T + 1) + amount, T)
+        self._x[:T + 1] = self._x[idx_x]
+        idx_u = np.minimum(np.arange(T) + amount, T - 1)
+        self._u[:T] = self._u[idx_u]
+        self._lam[:T] = self._lam[idx_u]
+
+    def dynamics(self, x, u, t, dt):
+        """Single discrete integration step (host-side helper)."""
+        xj = jnp.asarray(np.asarray(x, dtype=np.float64), self.dtype)
+        uj = jnp.asarray(np.asarray(u, dtype=np.float64), self.dtype)
+        p = self.params.as_dict(self.dtype)
+        res = ilqr._integrate(self.problem.dynamics, xj, uj, t,
+                              jnp.asarray(dt, self.dtype), p,
+                              self._integrator)
+        return np.asarray(res, dtype=np.float64)
+
+    def _get_update_fn(self):
+        key = self._integrator
+        fn = self._update_fns.get(key)
+        if fn is None:
+            fn = ilqr.make_update_fn(self.problem, self.horizon_max,
+                                     integrator=key, dtype=self.dtype)
+            self._update_fns[key] = fn
+        return fn
+
+    def update(self):
+        start = time.perf_counter()
+        dtype = self.dtype
+        H = self.horizon_max
+
+        state = ilqr.SolverState(
+            x=jnp.asarray(self._x, dtype),
+            u=jnp.asarray(self._u, dtype),
+            lam=jnp.asarray(self._lam, dtype),
+            mu_step=jnp.asarray(self._mu_step, jnp.int32))
+
+        cfg = dict(
+            u_min=jnp.asarray(np.nan_to_num(self._u_min, neginf=-1e30),
+                              dtype),
+            u_max=jnp.asarray(np.nan_to_num(self._u_max, posinf=1e30),
+                              dtype),
+            barrier_weight=jnp.asarray(self.barrier_weight, dtype),
+            lg_mult_limit=jnp.asarray(
+                np.nan_to_num(self._lg_mult_limit, posinf=1e30), dtype),
+            dt=jnp.asarray(self.step, dtype),
+            T=jnp.asarray(self.horizon, jnp.int32),
+            max_iterations=jnp.asarray(self.max_iterations, jnp.int32),
+            max_lg_iterations=jnp.asarray(self.max_lg_iterations, jnp.int32),
+            min_rel_cost_change=jnp.asarray(self.min_rel_cost_change, dtype),
+        )
+
+        fn = self._get_update_fn()
+        new_state, info = fn(state, jnp.asarray(self._x[0], dtype),
+                             self.params.as_dict(dtype), cfg)
+
+        self._x[:] = np.asarray(new_state.x, dtype=np.float64)
+        self._u[:] = np.asarray(new_state.u, dtype=np.float64)
+        self._lam[:] = np.asarray(new_state.lam, dtype=np.float64)
+        self._mu_step = int(new_state.mu_step)
+        self.traj_costs = float(info["traj_costs"])
+        self.runtime = (time.perf_counter() - start) * 1000.0
+        return self
