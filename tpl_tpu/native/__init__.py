@@ -1,0 +1,130 @@
+"""
+Native host-ops loader: compiles hostops.cpp on first use (cached by source
+hash) and exposes ctypes wrappers. Falls back to the pure-numpy
+implementations when no compiler is available.
+"""
+
+import os
+import ctypes
+import hashlib
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hostops.cpp")
+
+_lib = None
+_lib_lock = threading.Lock()
+_tried = False
+
+
+def _build_and_load():
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha1(src).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "TPL_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpl_tpu_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"hostops_{tag}.so")
+
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", tmp, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+
+    lib = ctypes.CDLL(so_path)
+
+    lib.tpl_resample.restype = ctypes.c_int64
+    lib.tpl_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double)]
+
+    lib.tpl_rampify_profile.restype = None
+    lib.tpl_rampify_profile.argtypes = [
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+
+    lib.tpl_rampify_corridor.restype = None
+    lib.tpl_rampify_corridor.argtypes = [
+        ctypes.c_double, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
+
+    return lib
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lib_lock:
+        if _lib is None and not _tried:
+            _tried = True
+            if os.environ.get("TPL_TPU_NO_NATIVE"):
+                return None
+            try:
+                _lib = _build_and_load()
+            except Exception:
+                _lib = None
+    return _lib
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def resample(points, sampling_dist, steps, start_index=0, closed=False):
+    """Native twin of ops.geometry.resample; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points[:, :2], dtype=np.float64)
+    out = np.zeros((steps, 5), dtype=np.float64)
+    if steps == 0 or len(pts) == 0:
+        return out[:0]
+    res = lib.tpl_resample(_ptr(pts), len(pts), float(sampling_dist),
+                           int(steps), int(start_index), int(bool(closed)),
+                           _ptr(out))
+    if res < 0:
+        raise RuntimeError("resampling failed")
+    return out[:res] if res < steps else out
+
+
+def rampify_profile(v0, a0, lim_v, a_min, a_max, j_min, j_max, v_min, step):
+    lib = get_lib()
+    if lib is None:
+        return None
+    lim = np.ascontiguousarray(lim_v, dtype=np.float64)
+    out = np.zeros((len(lim), 2), dtype=np.float64)
+    lib.tpl_rampify_profile(
+        float(v0 if v0 is not None else 0.0),
+        float(a0 if a0 is not None else 0.0),
+        int(v0 is not None), int(a0 is not None),
+        _ptr(lim), len(lim),
+        float(a_min), float(a_max), float(j_min), float(j_max),
+        float(v_min), float(step), _ptr(out))
+    return out
+
+
+def rampify_corridor(step, horizon, sharpness, proj_distance, path, gap,
+                     lower, upper):
+    lib = get_lib()
+    if lib is None:
+        return None
+    path_v = np.ascontiguousarray(path[:, 5], dtype=np.float64)
+    lo = np.ascontiguousarray(lower, dtype=np.float64)
+    up = np.ascontiguousarray(upper, dtype=np.float64)
+    out = np.zeros(len(path_v), dtype=np.float64)
+    lib.tpl_rampify_corridor(
+        float(step), int(horizon), float(sharpness), float(proj_distance),
+        _ptr(path_v), len(path_v), float(gap), _ptr(lo), _ptr(up), _ptr(out))
+    return out

@@ -31,3 +31,8 @@ from tpl_tpu.ops.profile import (
     zero_after_first_zero,
     add_vel_constraint,
 )
+from tpl_tpu.ops.lqr import (
+    lqr_smoother,
+    lqr_smoother_jax,
+    smooth_path_positions,
+)

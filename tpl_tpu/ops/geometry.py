@@ -201,7 +201,14 @@ def resample(points, sampling_dist, steps, start_index=0, closed=False):
 
     Raises RuntimeError when no next sample can be found.
     """
-    pts = np.asarray(points, dtype=np.float64)[:, :2]
+    pts_arr = np.asarray(points, dtype=np.float64)
+    if pts_arr.ndim == 2 and pts_arr.shape[0] > 0 and steps > 0:
+        from tpl_tpu import native
+        res = native.resample(pts_arr, sampling_dist, steps, start_index,
+                              closed)
+        if res is not None:
+            return res
+    pts = pts_arr[:, :2]
     if len(pts) == 0 or steps == 0:
         return np.zeros((0, 5))
 

@@ -19,6 +19,11 @@ def rampify_profile(v0, a0, lim_v, a_min, a_max, j_min, j_max, v_min, step):
     [velocity, acceleration]. v0/a0 may be None to take the backward-pass
     boundary values. (reference: library/tpl/planning/utils.py:6-65)
     """
+    from tpl_tpu import native
+    res = native.rampify_profile(v0, a0, np.asarray(lim_v, dtype=np.float64),
+                                 a_min, a_max, j_min, j_max, v_min, step)
+    if res is not None:
+        return res
     lim_v = np.maximum(np.asarray(lim_v, dtype=np.float64), v_min)
     horizon = len(lim_v)
     profile = np.zeros((horizon, 2))

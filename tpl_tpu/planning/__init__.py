@@ -1,0 +1,8 @@
+from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.path_vel_decomp import (
+    PathSmoothing,
+    PathOptim,
+    VelocityOptim,
+    PathVelDecompPlanner,
+)

@@ -1,0 +1,14 @@
+from tpl_tpu.simulation.state import (
+    SimState,
+    SimCar,
+    SimEgo,
+    SimTrafficLight,
+    SimTimeConstraint,
+    SimSettings,
+    SimRuleViolation,
+    SimRuleChecker,
+    SimIdmParams,
+    load_sim_state,
+)
+from tpl_tpu.simulation.core import SimCore
+from tpl_tpu.simulation.standalone import SimStandalone
