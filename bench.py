@@ -1,0 +1,129 @@
+"""
+Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Measures (BASELINE.json metric: "MPC solves/s/chip + p99 replan latency
+(RSTP, 100-step horizon)"):
+  - batched MPC tracking solves per second per chip (vmap over scenarios)
+  - single-instance RSTP replan latency p99 (lateral profile + velocity
+    profile solves on a 100-step horizon, warm-started, like one
+    receding-horizon tick)
+
+vs_baseline: batched solves/s against the 10k rollouts/s/chip target.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench_batched_mpc(batch=256, iters=20, horizon=60, max_iterations=8):
+    import __graft_entry__ as ge
+    update, state, x0, params, cfg = ge._mpc_setup(
+        horizon=horizon, max_iterations=max_iterations)
+
+    bstate = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state)
+    bx0 = (jnp.broadcast_to(x0, (batch,) + x0.shape)
+           + 0.01 * jnp.arange(batch, dtype=x0.dtype)[:, None])
+
+    vupdate = jax.jit(jax.vmap(update, in_axes=(0, 0, None, None)))
+
+    # warm up / compile
+    out, _ = vupdate(bstate, bx0, params, cfg)
+    jax.block_until_ready(out.u)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, _ = vupdate(bstate, bx0, params, cfg)
+    jax.block_until_ready(out.u)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_rstp_replan(horizon=100, iters=100):
+    """One receding-horizon RSTP tick: lateral profile solve + velocity
+    profile solve, warm-started, 100-step horizon."""
+    from tpl_tpu.optim import problems
+    from tpl_tpu.optim.solver import Solver
+
+    lat_prob, lat_spec = problems.lateral_profile(ref_capacity=256)
+    lat = Solver(lat_prob, lat_spec, horizon_max=horizon)
+    lat.horizon = horizon
+    lat.step = 0.5
+    lat.barrier_weight[:] = 1000.0
+    lat.lg_mult_limit = 0.0
+    lat.u_min[:] = -2.5
+    lat.u_max[:] = 2.5
+    lat.params.ref_step = 0.5
+    ss = np.arange(horizon) * 0.5
+    lat.params.k_ref = 0.01 * np.sin(ss * 0.1)
+    lat.params.d_offset = np.zeros(horizon)
+    lower = np.full(horizon, -2.0)
+    lower[40:60] = 1.0
+    lat.params.d_lower_constr = lower
+    lat.params.d_upper_constr = np.full(horizon, 3.0)
+
+    vel_prob, vel_spec = problems.velocity_profile_space(ref_capacity=256)
+    vel = Solver(vel_prob, vel_spec, horizon_max=horizon)
+    vel.horizon = horizon
+    vel.step = 0.5
+    vel.max_iterations = 20
+    vel.barrier_weight[:] = 1000.0
+    vel.lg_mult_limit = 0.1
+    vel.u_min[:] = -2.5
+    vel.u_max[:] = 2.5
+    vel.params.ref_step = 0.5
+    v_ref = np.full(horizon, 10.0)
+    v_ref[70:] = 4.0
+    vel.params.ref_v = v_ref
+    vel.params.ref_k = 0.01 * np.sin(ss * 0.1)
+    vel.params.ref_t_max = np.full(horizon, 1e10)
+    vel.params.ref_t_min = np.zeros(horizon)
+    vel.params.ref_t_offset = np.ones(horizon)
+    vel.params.ref_v_weight = np.ones(horizon)
+    vel.x[0] = [8.0, 0.0]
+
+    # warm up / compile
+    lat.x[0] = [0.3, 0.0]
+    lat.update()
+    vel.update()
+
+    lats = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        lat.shift(1)
+        lat.x[0, 0] += 0.001
+        lat.update()
+        vel.shift(1)
+        vel.update()
+        lats.append(time.perf_counter() - t0)
+    lats = np.array(lats) * 1e3
+    return float(np.percentile(lats, 99)), float(np.mean(lats))
+
+
+def main():
+    platform = jax.devices()[0].platform
+    solves_per_s = bench_batched_mpc()
+    p99_ms, mean_ms = bench_rstp_replan()
+
+    result = {
+        "metric": "mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        # target from BASELINE.json: >=10k batched rollouts/s/chip
+        "vs_baseline": round(solves_per_s / 10000.0, 3),
+        "rstp_replan_p99_ms": round(p99_ms, 2),
+        "rstp_replan_mean_ms": round(mean_ms, 2),
+        "replan_budget_ms": 20.0,
+        "platform": platform,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""
+Closed-loop scenario integration tests: full SimStandalone, deterministic
+fixed-step, zero rule violations as the acceptance gate.
+
+Mirrors the reference's test strategy (library/test/test_sim.py:17-51:
+scenario x planner matrix, rule checker assertions, runtime logging).
+The full-length scenario runs are gated behind TPL_TPU_SLOW_TESTS=1; the
+default suite runs a truncated window of the first scenario.
+"""
+
+import os
+import uuid
+
+import numpy as np
+import pytest
+
+
+SLOW = os.environ.get("TPL_TPU_SLOW_TESTS", "") == "1"
+
+
+def _run_scenario(scenario, planner, max_t=None, max_ticks=None):
+    from tpl_tpu.simulation import SimStandalone
+    from tpl_tpu.util import StoreRegistry
+
+    np.random.seed(0)
+    app_id = uuid.uuid4().hex[:8]
+    sim = SimStandalone(app_id=app_id, scenario_path=scenario)
+
+    with sim.planning_app.sh_planners.lock():
+        sim.planning_app.sh_planners.active_planner = planner
+
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+        ss.settings.reload_if_finished = False
+        ss.rule_checker.enable = True
+
+    ticks = 0
+    runtimes = []
+    while True:
+        sim.update()
+        ticks += 1
+        with sim.core.sh_state.lock():
+            s = sim.core.sh_state.sim
+            finished = s.finished
+            sim_t = s.t
+            violations = list(s.rule_checker.violations)
+        # the acceptance gate: zero violations after every tick
+        assert len(violations) == 0, (
+            f"{scenario}/{planner} violated rules at t={sim_t}: "
+            f"{violations[:3]}")
+        with sim.planning_app.sh_planners.lock():
+            runtimes.append(sim.planning_app.sh_planners.runtime)
+        if finished:
+            break
+        if max_t is not None and sim_t >= max_t:
+            break
+        if max_ticks is not None and ticks >= max_ticks:
+            break
+
+    return ticks, np.array(runtimes)
+
+
+def test_cv_3o_rstp_short():
+    """Truncated cv_3o window with the RSTP planner: approach the parked
+    car and begin the evasion, violation-free."""
+    ticks, runtimes = _run_scenario(
+        "acc_2024/cv_3o", "path_vel_decomp_planner", max_t=3.0)
+    assert ticks >= 300
+
+
+@pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")
+@pytest.mark.parametrize("scenario", [
+    "acc_2024/cv_3o",
+    "acc_2024/ot_2o",
+    "acc_2024/rb_3o",
+])
+def test_full_scenario_rstp(scenario):
+    ticks, runtimes = _run_scenario(scenario, "path_vel_decomp_planner")
+    assert ticks > 1000

@@ -124,7 +124,7 @@ def _integrate(dynamics, x, u, t, dt, params, integrator):
 
 
 def make_update_fn(prob: Problem, horizon: int, integrator: int = EULER,
-                   dtype=jnp.float32, jit: bool = True):
+                   dtype=jnp.float32, jit: bool = True, unroll: int = 1):
     """Build the jit-compiled ``update`` for one problem/capacity.
 
     Returns ``update(state, x0, params, cfg) -> (state, info)`` where cfg is
@@ -208,7 +208,7 @@ def make_update_fn(prob: Problem, horizon: int, integrator: int = EULER,
             xn = step(x, u, t, dt, params)
             xn = jnp.where(t < T, xn, x)
             return xn, xn
-        _, xs_tail = jax.lax.scan(f, x0, (ts, us))
+        _, xs_tail = jax.lax.scan(f, x0, (ts, us), unroll=unroll)
         xs = jnp.concatenate([x0[None], xs_tail], axis=0)
         return xs
 
@@ -232,7 +232,8 @@ def make_update_fn(prob: Problem, horizon: int, integrator: int = EULER,
             xn = jnp.where(t < T, xn, x)
             return xn, (xn, u)
         _, (xs_tail, us) = jax.lax.scan(
-            f, x0, (ts, xs_ref[:-1], us_ref, ks, Ks, u_min, u_max))
+            f, x0, (ts, xs_ref[:-1], us_ref, ks, Ks, u_min, u_max),
+            unroll=unroll)
         xs = jnp.concatenate([x0[None], xs_tail], axis=0)
         return xs, us, traj_cost(xs, us, dt, T, params, lam, w)
 
@@ -292,7 +293,7 @@ def make_update_fn(prob: Problem, horizon: int, integrator: int = EULER,
         _, (ks, Ks) = jax.lax.scan(
             bwd, init,
             (ts, fx, fu, lx, lu, lxx, luu, lux, us, u_min, u_max),
-            reverse=True)
+            reverse=True, unroll=unroll)
         return ks, Ks
 
     # ---- inner iLQR (optim.c:875-1008) ----
