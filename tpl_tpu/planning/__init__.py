@@ -6,3 +6,8 @@ from tpl_tpu.planning.path_vel_decomp import (
     VelocityOptim,
     PathVelDecompPlanner,
 )
+from tpl_tpu.planning.dyn_prog import (
+    DpEnv,
+    DpEnvironment,
+    DpLatLonPlanner,
+)

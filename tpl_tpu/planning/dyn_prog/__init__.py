@@ -1,0 +1,7 @@
+from tpl_tpu.planning.dyn_prog.dp_environment import (
+    DpEnvGrid,
+    DpEnvParams,
+    DpEnvironment,
+)
+from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
+from tpl_tpu.planning.dyn_prog.dp_lat_lon_planner import DpLatLonPlanner

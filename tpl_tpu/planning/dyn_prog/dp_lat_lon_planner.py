@@ -1,0 +1,457 @@
+"""
+3-D state-lattice value-iteration planner driver (FAS 2025): replan policy,
+emergency latch, dead-time stitching, LQR trajectory smoothing, and
+Frenet->Cartesian conversion around the device DP kernel.
+(reference: library/tpl/planning/dyn_prog/dp_lat_lon_planner.py and the
+post-processing in library/src/dyn_prog/lat_lon_planner.cu:645-825)
+"""
+
+import time
+import copy
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.interpolate import interp1d
+
+from tpl_tpu import util
+from tpl_tpu.util import Bundle
+from tpl_tpu.ops import lqr_smoother, short_angle_dist
+from tpl_tpu.ops.interp import lerp_xs
+from tpl_tpu.environment import EnvironmentState
+from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
+from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
+from tpl_tpu.planning.dyn_prog.lat_lon_kernel import (
+    LatLonParams, HostEval, latlon_dynamics_np,
+    C_T, C_S, C_DS, C_DDS, C_DDDS, C_L, C_DL, C_DDL, C_DDDL,
+    C_COST, C_CONSTR, C_FLAGS,
+)
+
+
+class Params:
+
+    def __init__(self):
+        self.write_debug_data = True
+        self.update_always = False
+        self.replan_time_step = 0.1
+        self.dead_time = 0.0
+        self.d_reinit = 2.0
+        self.cpp = LatLonParams()
+
+
+def traj_state(traj, t):
+    """Piecewise-dynamics evaluation of a frenet trajectory at time t.
+    (lat_lon_planner.cu:425-434 LatLonTraj::state)"""
+    ts = traj[:, C_T]
+    i = int(np.clip(np.searchsorted(ts, t, side="right") - 1,
+                    0, len(traj) - 1))
+    t_rel = t - traj[i, C_T]
+    return latlon_dynamics_np(traj[i], traj[i, C_DDS], traj[i, C_DL], t_rel)
+
+
+def traj_lerp(traj, t):
+    """Linear interp of all channels. (lat_lon_planner.cu:436-460)"""
+    ts = traj[:, C_T]
+    i = int(np.clip(np.searchsorted(ts, t, side="right") - 1,
+                    0, len(traj) - 2)) if len(traj) > 1 else 0
+    j = min(i + 1, len(traj) - 1)
+    denom = max(ts[j] - ts[i], 1e-9)
+    a = np.clip((t - ts[i]) / denom, 0.0, 1.0)
+    return traj[i] * (1.0 - a) + traj[j] * a
+
+
+class DpLatLonPlanner(BasePlanner):
+
+    def __init__(self, shared, lock_shared):
+        np.seterr(divide="ignore", invalid="ignore")
+
+        self.shared = shared
+        self.lock_shared = lock_shared
+
+        self.emergency_counter = 0
+        self.reset_counter = 0
+
+        self.last_update_time = -1.0
+        self.last_replan_time = -1.0
+        self.dt_start = None
+
+        self.state_reinit_msg = ""
+
+        self.traj_dp = None           # (N, 12) frenet trajectory
+        self.traj_smooth = np.zeros((1, 12))
+        self.traj_smooth_cart = None
+
+        self.trajectory = Trajectory()
+        self.trajectory_np = None
+
+        self._solver = None
+        self._solver_spec = None
+
+        self.runtime_dp = 0.0
+
+        with self.lock_shared():
+            self.shared.params = Bundle()
+            self.shared.params.planner = Params()
+            self.shared.debug = Bundle()
+            self.shared.debug.planner = Bundle()
+
+        self.dp_env = DpEnv(shared, lock_shared)
+        self.env = EnvironmentState()
+        self.ref_proj = None
+
+    # ------------------------------------------------------------------
+
+    def is_traj_valid(self, traj):
+        return bool(np.all(traj[1:, C_CONSTR] == 0))
+
+    def update_params(self, env):
+        veh = env.vehicle_state
+        with self.lock_shared():
+            params = self.shared.params.planner
+            params.cpp.length_veh = veh.rear_axis_to_front + \
+                veh.rear_axis_to_rear
+            params.cpp.width_veh = veh.width
+
+            dt_update = env.t - self.last_update_time
+            if self.dt_start is None:
+                self.dt_start = params.cpp.dt
+            else:
+                self.dt_start = (self.dt_start - dt_update) % params.cpp.dt
+            params.cpp.dt_start = self.dt_start
+
+            sh_params = copy.deepcopy(params)
+        return sh_params
+
+    def _get_solver(self, cpp):
+        spec = dict(t_steps=cpp.t_steps, s_steps=cpp.s_steps,
+                    ds_steps=cpp.ds_steps, l_steps=cpp.l_steps)
+        if self._solver is None or self._solver_spec != spec:
+            self._solver = llk.make_latlon_solver(spec)
+            self._solver_spec = spec
+        return self._solver
+
+    def _host_eval(self, cpp):
+        grid = self.dp_env.cpp_env.grid
+        return HostEval(np.asarray(grid.dist_map_lon),
+                        self.dp_env.cpp_env.ref_line,
+                        self.dp_env.cpp_env.ref_step, cpp)
+
+    # ------------------------------------------------------------------
+
+    def update_planner(self, env, params, replan):
+        cpp = params.cpp
+
+        # spatio-temporal window from maneuver time constraints
+        if len(env.man_time_cons) > 0:
+            pos_st, t_st_min, t_st_max = env.man_time_cons[0]
+            s_st = util.project(self.dp_env.ref_line[:, :2], pos_st).arc_len
+            cpp.t_st_min = t_st_min - env.t - params.dead_time
+            cpp.t_st_max = t_st_max - env.t - params.dead_time
+            cpp.s_st = s_st
+        else:
+            cpp.t_st_min = 0.0
+            cpp.t_st_max = 1000.0
+            cpp.s_st = 0.0
+
+        # match grid lateral range to the environment's fitted range
+        cpp.l_min = self.dp_env.cpp_env.params.l_min
+        cpp.l_max = self.dp_env.cpp_env.params.l_max
+
+        if replan:
+            solver = self._get_solver(cpp)
+            grid = self.dp_env.cpp_env.grid
+
+            x0 = np.zeros(12, dtype=np.float32)
+            x0[:] = self.traj_dp[0]
+
+            start = time.perf_counter()
+            nodes, traj = solver(grid.dist_map_lon, grid.ref_line,
+                                 jnp.float32(self.dp_env.cpp_env.ref_step),
+                                 cpp.dynamic_dict(), jnp.asarray(x0))
+            traj = np.asarray(traj, dtype=np.float64)
+            self.runtime_dp = (time.perf_counter() - start) * 1000.0
+
+            self.traj_dp = traj
+            self.last_replan_time = env.t
+
+        self.update_traj_smooth(params)
+        self.update_traj_cart(params)
+
+    def update_traj_smooth(self, params):
+        """Resample at dt_smooth and LQR-smooth the s- and l-profiles with
+        quadruple-integrator chains. (lat_lon_planner.cu:645-769)"""
+        cpp = params.cpp
+        dt_s = cpp.dt_smooth_traj
+
+        resample_steps = int(self.traj_dp[-1, C_T] / dt_s)
+        if resample_steps < 2:
+            self.traj_smooth = self.traj_dp.copy()
+            return
+        ts = np.arange(resample_steps) * dt_s
+        resampled = np.stack([traj_state(self.traj_dp, t) for t in ts])
+
+        x_ref_s = np.zeros((resample_steps, 4))
+        x_ref_s[:, 0] = resampled[:, C_S]
+        x_ref_s[:, 1] = resampled[:, C_DS]
+        x_ref_l = np.zeros((resample_steps, 4))
+        x_ref_l[:, 0] = resampled[:, C_L]
+
+        x0_s = self.traj_smooth[0][[C_S, C_DS, C_DDS, C_DDDS]]
+        x0_l = self.traj_smooth[0][[C_L, C_DL, C_DDL, C_DDDL]]
+
+        A = np.eye(4)
+        A[0, 1] = dt_s
+        A[1, 2] = dt_s
+        A[2, 3] = dt_s
+        B = np.zeros((4, 1))
+        B[3, 0] = dt_s
+
+        Q_s = np.diag([10.0, 10.0, 10.0, 10.0])
+        Q_l = np.diag([1000.0, 10.0, 0.0, 0.0])
+        R_s = np.array([[1.0]])
+        R_l = np.array([[0.1]])
+
+        xs_s, _ = lqr_smoother(x0_s, x_ref_s, A, B, Q_s, R_s)
+        xs_l, _ = lqr_smoother(x0_l, x_ref_l, A, B, Q_l, R_l)
+
+        sm = np.zeros((resample_steps, 12))
+        sm[:, C_T] = ts
+        sm[:, C_S] = xs_s[:, 0]
+        sm[:, C_DS] = xs_s[:, 1]
+        sm[:, C_DDS] = xs_s[:, 2]
+        sm[:, C_DDDS] = xs_s[:, 3]
+        sm[:, C_L] = xs_l[:, 0]
+        sm[:, C_DL] = xs_l[:, 1]
+        sm[:, C_DDL] = xs_l[:, 2]
+        sm[:, C_DDDL] = xs_l[:, 3]
+        self.traj_smooth = sm
+
+    def update_traj_cart(self, params):
+        """Frenet -> Cartesian with finite-difference curvature recovery.
+        (lat_lon_planner.cu:771-825)"""
+        cpp_env = self.dp_env.cpp_env
+        rl = cpp_env.ref_line   # (N, 8) offset-centered
+        step = cpp_env.ref_step
+        traj = self.traj_smooth
+        n = len(traj)
+
+        s = traj[:, C_S]
+        ss_grid = np.arange(len(rl)) * step
+        x_r = lerp_xs(s, ss_grid, rl[:, 0])
+        y_r = lerp_xs(s, ss_grid, rl[:, 1])
+        h_r = lerp_xs(s, ss_grid, rl[:, 2], angle=True)
+        k_r = lerp_xs(s, ss_grid, rl[:, 3])
+
+        cart = np.zeros((n, 9))
+        # cols: t, distance, x, y, v, a, heading, k, constr
+        cart[:, 0] = traj[:, C_T]
+        cart[:, 2] = cpp_env.x_offset + x_r - traj[:, C_L] * np.sin(h_r)
+        cart[:, 3] = cpp_env.y_offset + y_r + traj[:, C_L] * np.cos(h_r)
+        heading = np.where(traj[:, C_DS] < 1e-3, h_r,
+                           np.arctan(traj[:, C_DL]
+                                     / np.maximum(traj[:, C_DS], 1e-9))
+                           + h_r)
+        cart[:, 6] = heading
+        cart[:, 4] = np.sqrt(
+            ((1.0 - k_r * traj[:, C_L]) * traj[:, C_DS]) ** 2
+            + traj[:, C_DL] ** 2)
+        cart[:, 8] = traj[:, C_CONSTR]
+
+        if n > 1:
+            dx = np.diff(cart[:, 2])
+            dy = np.diff(cart[:, 3])
+            ds = np.hypot(dx, dy)
+            cart[1:, 1] = np.cumsum(ds)
+            dt_ = np.maximum(np.diff(cart[:, 0]), 1e-9)
+            a = np.diff(cart[:, 4]) / dt_
+            k = np.where(ds >= 1e-3,
+                         short_angle_dist(cart[:-1, 6], cart[1:, 6])
+                         / np.maximum(ds, 1e-9), 0.0)
+            cart[:-1, 5] = a
+            cart[-1, 5] = a[-1] if len(a) else 0.0
+            cart[:-1, 7] = k
+            cart[-1, 7] = k[-1] if len(k) else 0.0
+
+        self.traj_smooth_cart = cart
+
+    # ------------------------------------------------------------------
+
+    def update_trajectory(self, env, params):
+        """Dead-time stitching + emergency latch -> Trajectory.
+        (dp_lat_lon_planner.py:150-188)"""
+        traj_np = self.traj_smooth_cart.copy()
+        traj_np[:, 0] += env.t + params.dead_time
+
+        if self.trajectory_np is None:
+            self.trajectory_np = traj_np
+        self.trajectory_np[:, 6] = np.unwrap(self.trajectory_np[:, 6],
+                                             period=np.pi * 2.0)
+
+        interp_traj = interp1d(self.trajectory_np[:, 0], self.trajectory_np,
+                               axis=0, fill_value="extrapolate")
+        ts = np.arange(env.t, env.t + params.dead_time,
+                       params.cpp.dt_smooth_traj)
+        if len(ts):
+            traj_np = np.concatenate((interp_traj(ts), traj_np), axis=0)
+
+        if self.is_traj_valid(self.traj_dp):
+            self.emergency_counter = max(0, self.emergency_counter - 1)
+        else:
+            self.emergency_counter = 50
+
+        traj = Trajectory()
+        traj.emergency = self.emergency_counter > 0
+        if not traj.emergency:
+            traj.time = traj_np[:, 0]
+            traj.s = traj_np[:, 1]
+            traj.x = traj_np[:, 2]
+            traj.y = traj_np[:, 3]
+            traj.velocity = traj_np[:, 4]
+            traj.acceleration = traj_np[:, 5]
+            traj.orientation = traj_np[:, 6]
+            traj.curvature = traj_np[:, 7]
+
+        self.trajectory_np = traj_np
+        self.trajectory = traj
+
+    def reset_initial_state(self, veh, params):
+        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
+        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
+        proj = util.project(self.dp_env.ref_line[:, :2], [x_cog, y_cog])
+
+        init = np.zeros(12)
+        init[C_S] = proj.arc_len + veh.v * params.dead_time
+        init[C_DS] = veh.v
+        init[C_L] = self.ref_proj.distance
+
+        if self.traj_dp is None or len(self.traj_dp) == 0:
+            self.traj_dp = np.zeros((params.cpp.t_steps, 12))
+        self.traj_dp[0] = init
+        self.traj_smooth[0] = init
+        self.trajectory_np = None
+
+    def shift_trajectory(self, env, params):
+        """Retime by dt_update, de-shift s by ref_line_shift.
+        (dp_lat_lon_planner.py:205-229)"""
+        if self.traj_dp is None:
+            return
+
+        dt_update = env.t - self.last_update_time
+
+        self.traj_dp[:, C_T] -= dt_update
+        self.traj_dp[:, C_S] -= self.dp_env.ref_line_shift
+
+        keep = self.traj_dp[self.traj_dp[:, C_T] > 0.0]
+        head = traj_state(self.traj_dp, 0.0)
+        self.traj_dp = np.vstack([head[None, :], keep])
+
+        self.traj_smooth[0] = traj_lerp(self.traj_smooth, dt_update)
+        self.traj_smooth[0, C_T] = 0.0
+        self.traj_smooth[0, C_S] -= self.dp_env.ref_line_shift
+
+    def check_replan(self, env, params):
+        """(dp_lat_lon_planner.py:231-290)"""
+        veh = env.vehicle_state
+        self.ref_proj = util.project(env.local_map.path[:, :2],
+                                     [veh.x, veh.y])
+
+        if self.emergency_counter > 0:
+            self.state_reinit_msg = ""
+            self.reset_initial_state(veh, params)
+            return True
+
+        if not veh.automated:
+            if env.t - self.last_replan_time >= 1.0:
+                self.emergency_counter = 0
+                self.state_reinit_msg = ""
+                self.reset_initial_state(veh, params)
+                return True
+
+        reset_required = self.reset_counter != env.reset_counter
+        self.reset_counter = env.reset_counter
+
+        if self.traj_dp is None or reset_required:
+            self.emergency_counter = 0
+            self.state_reinit_msg = ""
+            self.reset_initial_state(veh, params)
+            return True
+
+        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
+        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
+        if (self.trajectory_np is not None
+                and len(self.trajectory.x) > 0):
+            d_traj = np.linalg.norm([self.trajectory.x[0] - x_cog,
+                                     self.trajectory.y[0] - y_cog])
+            if abs(d_traj) > params.d_reinit:
+                self.state_reinit_msg = \
+                    "Warning: Planner reinit, distance to trajectory too high"
+                self.reset_initial_state(veh, params)
+                return True
+
+        if len(self.traj_dp) < params.cpp.t_steps:
+            return True
+
+        if env.t - self.last_replan_time > params.replan_time_step:
+            return True
+
+        # re-evaluate stored trajectory against the fresh environment
+        he = self._host_eval(params.cpp)
+        self.traj_dp = he.reeval(self.traj_dp)
+        if not self.is_traj_valid(self.traj_dp):
+            return True
+
+        return False
+
+    def write_debug_data(self, t, params, veh):
+        with self.lock_shared():
+            dbg = self.shared.debug.planner
+            dbg.reinit_msg = self.state_reinit_msg
+            dbg.runtime_dp = self.runtime_dp
+            if params.write_debug_data:
+                dbg.traj_dp = None if self.traj_dp is None \
+                    else self.traj_dp.copy()
+                dbg.traj_smooth = self.traj_smooth.copy()
+                dbg.traj_smooth_cart = None if self.traj_smooth_cart is None \
+                    else self.traj_smooth_cart.copy()
+
+    def update(self, sh_env):
+        env = self.env
+
+        with sh_env.lock():
+            env.t = sh_env.t
+            env.reset_counter = sh_env.reset_counter
+            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
+            env.local_map = copy.deepcopy(sh_env.local_map)
+            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
+            env.selected_map = copy.deepcopy(sh_env.selected_map)
+            env.tracks = copy.deepcopy(sh_env.tracks)
+            env.predicted = copy.deepcopy(sh_env.predicted)
+            env.man_time_cons = copy.deepcopy(sh_env.man_time_cons)
+
+        params = self.update_params(env)
+
+        update_needed = True
+        if env.local_map is None:
+            update_needed = False
+
+        if env.t == self.last_update_time and not params.update_always:
+            time.sleep(0.001)
+            update_needed = False
+
+        if env.t < self.last_update_time:
+            self.last_update_time = 0.0
+
+        if update_needed:
+            self.dp_env.update(env)
+
+            self.shift_trajectory(env, params)
+            replan = self.check_replan(env, params)
+            self.update_planner(env, params, replan)
+            self.update_trajectory(env, params)
+
+            self.last_update_time = env.t
+
+        self.write_debug_data(env.t, params, env.vehicle_state)
+
+        return self.trajectory
