@@ -10,4 +10,5 @@ from tpl_tpu.planning.dyn_prog import (
     DpEnv,
     DpEnvironment,
     DpLatLonPlanner,
+    PolyLatDpLonPlanner,
 )

@@ -5,3 +5,6 @@ from tpl_tpu.planning.dyn_prog.dp_environment import (
 )
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog.dp_lat_lon_planner import DpLatLonPlanner
+from tpl_tpu.planning.dyn_prog.poly_lat_dp_lon_planner import (
+    PolyLatDpLonPlanner,
+)

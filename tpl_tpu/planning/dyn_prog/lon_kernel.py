@@ -1,0 +1,352 @@
+"""
+Longitudinal DP planner kernel: value iteration over the (s, v, a) grid
+along a fixed path with jerk actions.
+
+TPU-native re-design of the reference's CUDA kernels (reference:
+library/src/dyn_prog/lon_planner.cu): per-thread node evaluations become
+whole-grid vectorized evaluations; trilinear texture value lookups become
+manual trilinear interpolation. The planner follows a path produced by the
+lateral planner using the path distance map.
+
+Path layout (PathState, common.cuh:100-113): columns
+[x, y, s, l, k, v_max, distance]. Lon state layout: [t, s, v, a, j, cost,
+constr] (lon_planner.cuh:55-67).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# lon state columns
+LC_T, LC_S, LC_V, LC_A, LC_J, LC_COST, LC_CONSTR = range(7)
+
+# path columns
+PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST = range(7)
+
+
+class LonParams:
+    """(reference: lon_planner.cuh:7-53)"""
+
+    def __init__(self):
+        self.s_min = 0.0
+        self.s_max = 200.0
+        self.v_min = 0.0
+        self.v_max = 36.0
+        self.a_min = -2.0
+        self.a_max = 2.0
+        self.j_min = -2.0
+        self.j_max = 2.0
+
+        self.t_steps = 10
+        self.s_steps = 201
+        self.v_steps = 37
+        self.a_steps = 7
+
+        self.dt_start = 1.0
+        self.dt = 1.0
+
+        self.time_gap = 1.5
+        self.gap_min = 1.0
+
+        self.w_progress = 1.0
+        self.w_a = 0.5
+        self.w_j = 0.5
+        self.w_snap = 0.5
+        self.w_safety_dist = 10.0
+
+        self.path_step_size = 0.5
+        self.path_steps = 200
+
+        self.width_veh = 2.0
+        self.length_veh = 6.0
+
+    @property
+    def s_step(self):
+        return (self.s_max - self.s_min) / (self.s_steps - 1)
+
+    @property
+    def v_step(self):
+        return (self.v_max - self.v_min) / (self.v_steps - 1)
+
+    @property
+    def a_step(self):
+        return (self.a_max - self.a_min) / (self.a_steps - 1)
+
+    def dynamic_dict(self):
+        keys = ("s_min", "s_max", "v_min", "v_max", "a_min", "a_max",
+                "j_min", "j_max", "dt_start", "dt", "time_gap", "gap_min",
+                "w_progress", "w_a", "w_j", "w_snap", "w_safety_dist",
+                "path_step_size", "width_veh", "length_veh")
+        return {k: jnp.float32(getattr(self, k)) for k in keys}
+
+
+def lon_dynamics_np(state, j, dt):
+    """(lon_planner.cu:240-251)"""
+    res = np.array(state, dtype=np.float64).copy()
+    res[LC_T] = state[LC_T] + dt
+    res[LC_S] = max(state[LC_S],
+                    state[LC_S] + state[LC_V] * dt
+                    + 0.5 * state[LC_A] * dt * dt
+                    + 1.0 / 6.0 * j * dt ** 3)
+    res[LC_V] = max(0.0, state[LC_V] + state[LC_A] * dt + 0.5 * j * dt * dt)
+    res[LC_A] = state[LC_A] + j * dt
+    res[LC_J] = j
+    return res
+
+
+def lon_traj_state(traj, t):
+    """(lon_planner.cu:253-261 LonTraj::state)"""
+    ts = traj[:, LC_T]
+    i = int(np.clip(np.searchsorted(ts, t, side="right") - 1,
+                    0, len(traj) - 1))
+    t_rel = t - traj[i, LC_T]
+    return lon_dynamics_np(traj[i], traj[i, LC_J], t_rel)
+
+
+def make_lon_solver(spec):
+    """spec: t_steps, s_steps, v_steps, a_steps, path_steps (static)."""
+    T = spec["t_steps"]
+    S = spec["s_steps"]
+    V = spec["v_steps"]
+    A = spec["a_steps"]
+    P = spec["path_steps"]
+    NB = 9
+    NF = 21
+
+    f32 = jnp.float32
+
+    def interp_path(path, dist, pp):
+        """(common.cuh:115-139)"""
+        a = dist / pp["path_step_size"]
+        i0 = jnp.clip(jnp.floor(a), 0, P - 1).astype(jnp.int32)
+        i1 = jnp.clip(jnp.ceil(a), 0, P - 1).astype(jnp.int32)
+        al = (a - i0)[..., None]
+        return path[i0] * (1.0 - al) + path[i1] * al
+
+    def interp_dist_map_path(dist_path, t_idx, s, pp):
+        """(env.cu:253-263): point lookup at rounded s index."""
+        si = jnp.clip(jnp.round((s - pp["s_min"]) / (pp["s_max"] - pp["s_min"])
+                                * (S - 1)), 0, S - 1).astype(jnp.int32)
+        return dist_path[t_idx, si]
+
+    def trilerp(nodes, s, v, a, pp):
+        x = jnp.clip((s - pp["s_min"]) / (pp["s_max"] - pp["s_min"])
+                     * (S - 1), 0.0, S - 1.0)
+        y = jnp.clip((v - pp["v_min"]) / (pp["v_max"] - pp["v_min"])
+                     * (V - 1), 0.0, V - 1.0)
+        z = jnp.clip((a - pp["a_min"]) / (pp["a_max"] - pp["a_min"])
+                     * (A - 1), 0.0, A - 1.0)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        z0 = jnp.floor(z).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, S - 1)
+        y1 = jnp.minimum(y0 + 1, V - 1)
+        z1 = jnp.minimum(z0 + 1, A - 1)
+        ax = (x - x0)[..., None]
+        ay = (y - y0)[..., None]
+        az = (z - z0)[..., None]
+        c00 = nodes[x0, y0, z0] * (1 - ax) + nodes[x1, y0, z0] * ax
+        c10 = nodes[x0, y1, z0] * (1 - ax) + nodes[x1, y1, z0] * ax
+        c01 = nodes[x0, y0, z1] * (1 - ax) + nodes[x1, y0, z1] * ax
+        c11 = nodes[x0, y1, z1] * (1 - ax) + nodes[x1, y1, z1] * ax
+        c0 = c00 * (1 - ay) + c10 * ay
+        c1 = c01 * (1 - ay) + c11 * ay
+        return c0 * (1 - az) + c1 * az
+
+    def eval_grid(nodes_next, t, t_idx, dist_path, path, pp, dt, is_last):
+        """Evaluate all (s, v, a) nodes for one backward slice."""
+        ss = pp["s_min"] + jnp.arange(S, dtype=f32) \
+            * (pp["s_max"] - pp["s_min"]) / (S - 1)
+        vs = pp["v_min"] + jnp.arange(V, dtype=f32) \
+            * (pp["v_max"] - pp["v_min"]) / (V - 1)
+        aas = pp["a_min"] + jnp.arange(A, dtype=f32) \
+            * (pp["a_max"] - pp["a_min"]) / (A - 1)
+
+        cps = interp_path(path, ss, pp)                       # (S, 7)
+        v_max_s = cps[:, PC_VMAX]                             # (S,)
+        s_dist = interp_dist_map_path(dist_path, t_idx, cps[:, PC_S], pp) \
+            - pp["length_veh"] * 0.6                          # (S,)
+
+        s_g = ss[:, None, None]
+        v_g = vs[None, :, None]
+        a_g = aas[None, None, :]
+
+        state_cost = (pp["w_a"] * a_g ** 2
+                      + pp["w_progress"] * jnp.abs(1000.0 - s_g)
+                      + pp["w_safety_dist"] * jnp.maximum(
+                          0.0, v_g * pp["time_gap"] + pp["gap_min"]
+                          - s_dist[:, None, None]))
+        state_constr = jnp.maximum(0.0, v_g - v_max_s[:, None, None])
+        state_cost = jnp.broadcast_to(state_cost, (S, V, A))
+        state_constr = jnp.broadcast_to(state_constr, (S, V, A))
+
+        if is_last:
+            node = jnp.stack([state_cost, jnp.zeros((S, V, A), f32),
+                              jnp.zeros((S, V, A), f32),
+                              jnp.zeros((S, V, A), f32)], axis=-1)
+            return node
+
+        js = pp["j_min"] + (pp["j_max"] - pp["j_min"]) \
+            * jnp.arange(NB, dtype=f32) / (NB - 1)            # (NB,)
+
+        # next states (lonDynamics)
+        ds_change = (v_g[..., None] * dt + 0.5 * a_g[..., None] * dt * dt
+                     + js[None, None, None, :] * dt ** 3 / 6.0)
+        s_change = jnp.maximum(0.0, ds_change)                # (1,V,A,NB)->bc
+        sn = s_g[..., None] + s_change                        # (S,V,A,NB)
+        vn = jnp.maximum(0.0, v_g[..., None] + a_g[..., None] * dt
+                         + 0.5 * js[None, None, None, :] * dt * dt)
+        an = a_g[..., None] + js[None, None, None, :] * dt
+
+        nn = trilerp(nodes_next, sn, jnp.broadcast_to(vn, sn.shape),
+                     jnp.broadcast_to(an, sn.shape), pp)      # (S,V,A,NB,4)
+
+        cost = state_cost[..., None] + nn[..., 0]
+        constr = state_constr[..., None] + nn[..., 1]
+        cost += pp["w_snap"] * (nn[..., 2] - js[None, None, None, :]) ** 2
+        cost += pp["w_j"] * (js[None, None, None, :] * dt) ** 2
+
+        v_max_n = interp_path(path, sn.reshape(-1), pp)[:, PC_VMAX] \
+            .reshape(sn.shape)
+        constr += jnp.maximum(0.0, vn - v_max_n)
+        constr += jnp.maximum(0.0, s_change - s_dist[:, None, None, None])
+        constr += jnp.maximum(0.0, pp["a_min"] - an)
+        constr += jnp.maximum(0.0, an - pp["a_max"])
+
+        cmin = jnp.min(constr, axis=-1, keepdims=True)
+        cost_m = jnp.where(constr <= cmin, cost, jnp.inf)
+        jidx = jnp.argmin(cost_m, axis=-1)
+        j_best = js[jidx]
+        cost_best = jnp.take_along_axis(cost_m, jidx[..., None],
+                                        axis=-1)[..., 0]
+
+        node = jnp.stack([cost_best, cmin[..., 0], j_best,
+                          jnp.zeros((S, V, A), f32)], axis=-1)
+        return node
+
+    def eval_single(tp, nodes_next, t_idx, dist_path, path, pp, dt,
+                    choose_action, n_actions):
+        """Single-state node evaluation (evalNode, lon_planner.cu:71-177)."""
+        s, v, a = tp[LC_S], tp[LC_V], tp[LC_A]
+        cps = interp_path(path, s, pp)
+        v_max = cps[PC_VMAX]
+        s_dist = interp_dist_map_path(dist_path, t_idx, cps[PC_S], pp) \
+            - pp["length_veh"] * 0.6
+
+        state_cost = (pp["w_a"] * a ** 2
+                      + pp["w_progress"] * jnp.abs(1000.0 - s)
+                      + pp["w_safety_dist"] * jnp.maximum(
+                          0.0, v * pp["time_gap"] + pp["gap_min"] - s_dist))
+        state_constr = jnp.maximum(0.0, v - v_max)
+
+        is_last = jnp.round(tp[LC_T] / pp["dt"]) == T - 1
+
+        if choose_action:
+            js = pp["j_min"] + (pp["j_max"] - pp["j_min"]) \
+                * jnp.arange(n_actions, dtype=f32) / (n_actions - 1)
+        else:
+            js = tp[LC_J][None]
+
+        ds_change = v * dt + 0.5 * a * dt * dt + js * dt ** 3 / 6.0
+        s_change = jnp.maximum(0.0, ds_change)
+        sn = s + s_change
+        vn = jnp.maximum(0.0, v + a * dt + 0.5 * js * dt * dt)
+        an = a + js * dt
+
+        nn = trilerp(nodes_next, sn, vn, an, pp)
+        cost = state_cost + nn[..., 0]
+        constr = state_constr + nn[..., 1]
+        cost += pp["w_snap"] * (nn[..., 2] - js) ** 2
+        cost += pp["w_j"] * (js * dt) ** 2
+        v_max_n = interp_path(path, sn, pp)[..., PC_VMAX]
+        constr += jnp.maximum(0.0, vn - v_max_n)
+        constr += jnp.maximum(0.0, s_change - s_dist)
+        constr += jnp.maximum(0.0, pp["a_min"] - an)
+        constr += jnp.maximum(0.0, an - pp["a_max"])
+
+        cmin = jnp.min(constr)
+        cost_m = jnp.where(constr <= cmin, cost, jnp.inf)
+        jidx = jnp.argmin(cost_m)
+        j_best = js[jidx]
+        cost_best = cost_m[jidx]
+
+        tp = tp.at[LC_J].set(jnp.where(is_last, tp[LC_J], j_best))
+        tp = tp.at[LC_COST].set(jnp.where(is_last, state_cost, cost_best))
+        tp = tp.at[LC_CONSTR].set(jnp.where(is_last, tp[LC_CONSTR], cmin))
+        return tp
+
+    @jax.jit
+    def solve(dist_path, path, pp, x0):
+        """dist_path: (T, S); path: (P, 7); x0: (7,) lon state."""
+        # backward
+        def make_node(i, carry):
+            t = pp["dt_start"] + (i.astype(f32) - 1.0) * pp["dt"]
+            t_idx = jnp.clip(i, 0, T - 1).astype(jnp.int32)
+            return eval_grid(carry, t, t_idx, dist_path, path, pp,
+                             pp["dt"], False)
+
+        nodes_final = eval_grid(
+            jnp.zeros((S, V, A, 4), f32),
+            pp["dt_start"] + f32(T - 2) * pp["dt"], T - 1, dist_path, path,
+            pp, pp["dt"], True)
+
+        def bwd(carry, i):
+            node = make_node(i, carry)
+            return node, node
+
+        idxs = jnp.arange(T - 2, 0, -1)
+        _, nodes_seq = jax.lax.scan(bwd, nodes_final, idxs)
+        nodes = jnp.concatenate([
+            jnp.zeros((1, S, V, A, 4), f32),
+            nodes_seq[::-1],
+            nodes_final[None]], axis=0)
+
+        # forward
+        def fwd(tp, i):
+            dt_i = jnp.where(i == 0, pp["dt_start"], pp["dt"])
+            t_idx = jnp.where(tp[LC_T] < pp["dt_start"], 0,
+                              jnp.round((tp[LC_T] - pp["dt_start"])
+                                        / pp["dt"]) + 1).astype(jnp.int32)
+            t_idx = jnp.clip(t_idx, 0, T - 1)
+            nodes_next = nodes[jnp.minimum(i + 1, T - 1)]
+            tp_out = eval_single(tp, nodes_next, t_idx, dist_path, path, pp,
+                                 dt_i, True, NF)
+            # next state
+            j = tp_out[LC_J]
+            tn = jnp.zeros_like(tp_out)
+            tn = tn.at[LC_T].set(tp_out[LC_T] + dt_i)
+            tn = tn.at[LC_S].set(jnp.maximum(
+                tp_out[LC_S],
+                tp_out[LC_S] + tp_out[LC_V] * dt_i
+                + 0.5 * tp_out[LC_A] * dt_i ** 2 + j * dt_i ** 3 / 6.0))
+            tn = tn.at[LC_V].set(jnp.maximum(
+                0.0, tp_out[LC_V] + tp_out[LC_A] * dt_i
+                + 0.5 * j * dt_i ** 2))
+            tn = tn.at[LC_A].set(tp_out[LC_A] + j * dt_i)
+            tn = tn.at[LC_J].set(j)
+            return tn, tp_out
+
+        _, traj = jax.lax.scan(fwd, x0.astype(f32), jnp.arange(T))
+        return nodes, traj
+
+    @jax.jit
+    def reeval(dist_path, path, pp, traj, nodes):
+        """Re-evaluate a stored trajectory (lonReevalNode)."""
+        def body(carry, inp):
+            i, tp = inp
+            dt_i = jnp.where(i == 0, pp["dt_start"], pp["dt"])
+            t_idx = jnp.where(tp[LC_T] < pp["dt_start"], 0,
+                              jnp.round((tp[LC_T] - pp["dt_start"])
+                                        / pp["dt"]) + 1).astype(jnp.int32)
+            t_idx = jnp.clip(t_idx, 0, T - 1)
+            nodes_next = nodes[jnp.minimum(i + 1, T - 1)]
+            tp_out = eval_single(tp, nodes_next, t_idx, dist_path, path, pp,
+                                 dt_i, False, 1)
+            return carry, tp_out
+
+        _, out = jax.lax.scan(body, 0,
+                              (jnp.arange(len(traj)), traj.astype(f32)))
+        return out
+
+    return solve, reeval

@@ -1,0 +1,434 @@
+"""
+FAS 2025 planner: polynomial lateral path sampling (with near-path
+splicing) -> curvature-limited velocity profile -> longitudinal DP over the
+resulting path. (reference:
+library/tpl/planning/dyn_prog/poly_lat_dp_lon_planner.py)
+"""
+
+import time
+import copy
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpl_tpu import util
+from tpl_tpu.util import Bundle
+from tpl_tpu.ops import curv_to_vel_profile, rampify_profile
+from tpl_tpu.ops.interp import lerp_xs
+from tpl_tpu.environment import EnvironmentState
+from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
+from tpl_tpu.planning.dyn_prog import lon_kernel as lk
+from tpl_tpu.planning.dyn_prog.lon_kernel import (
+    LonParams, lon_traj_state, LC_T, LC_S, LC_V, LC_A, LC_J, LC_COST,
+    LC_CONSTR, PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST,
+)
+from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
+    PolyLatParams, PolyLatPlannerJax, PolyLatTraj,
+    TC_T, TC_L, TC_DL, TC_DDL, TC_DDDL, TC_S, TC_V, TC_X, TC_Y, TC_H,
+    TC_DIST, TC_K,
+)
+
+
+class Params:
+
+    def __init__(self):
+        self.write_debug_data = True
+        self.update_always = False
+        self.replan_time_step = 0.1
+        self.dead_time = 0.0
+
+        self.dist_path_fix_min = 5.0
+        self.dist_path_fix = 1.0
+
+        self.d_reinit = 2.0
+
+        self.cpp_lat = PolyLatParams()
+        self.cpp_lon = LonParams()
+
+
+class PolyLatDpLonPlanner(BasePlanner):
+
+    def __init__(self, shared, lock_shared):
+        np.seterr(divide="ignore", invalid="ignore")
+
+        self.shared = shared
+        self.lock_shared = lock_shared
+
+        self.reset_counter = 0
+        self.invalid_counter = 0
+        self.emergency_counter = 0
+
+        self.last_update_time = -1.0
+        self.last_replan_time = -1.0
+        self.dt_start = None
+
+        self.state_reinit_msg = ""
+        self.ref_proj = None
+
+        self.traj_lat = None          # PolyLatTraj
+        self.path = None              # (P, 7) PathState array
+        self.traj_lon = None          # (T, 7) lon states
+
+        self.trajectory = Trajectory()
+        self.trajectory_np = None
+        self.traj_point_prev = np.zeros(2)
+
+        self.poly_lat_start = dict(l=0.0, dl=0.0, ddl=0.0, s=0.0, v=0.0)
+        self.dp_lon_start = np.zeros(7)
+
+        self.poly_lat = PolyLatPlannerJax()
+        self._lon_solver = None
+        self._lon_reeval = None
+        self._lon_spec = None
+        self._lon_nodes = None
+
+        self.runtime_dp = 0.0
+
+        with self.lock_shared():
+            self.shared.params = Bundle()
+            self.shared.params.planner = Params()
+            self.shared.debug = Bundle()
+            self.shared.debug.planner = Bundle()
+
+        self.dp_env = DpEnv(shared, lock_shared)
+        self.env = EnvironmentState()
+
+    # ------------------------------------------------------------------
+
+    def is_traj_valid(self, traj):
+        return bool(np.all(traj[1:-1, LC_CONSTR] < 0.1))
+
+    def update_params(self, env):
+        veh = env.vehicle_state
+        with self.lock_shared():
+            params = self.shared.params.planner
+            length_veh = veh.rear_axis_to_front + veh.rear_axis_to_rear
+            params.cpp_lat.length_veh = length_veh
+            params.cpp_lat.width_veh = veh.width
+            params.cpp_lon.length_veh = length_veh
+            params.cpp_lon.width_veh = veh.width
+
+            dt_update = env.t - self.last_update_time
+            if self.dt_start is None:
+                self.dt_start = params.cpp_lon.dt
+            else:
+                self.dt_start = (self.dt_start - dt_update) \
+                    % params.cpp_lon.dt
+            if self.dt_start == 0.0:
+                self.dt_start = params.cpp_lon.dt
+            params.cpp_lon.dt_start = self.dt_start
+
+            sh_params = copy.deepcopy(params)
+        return sh_params
+
+    def _get_lon(self, cpp):
+        spec = dict(t_steps=cpp.t_steps, s_steps=cpp.s_steps,
+                    v_steps=cpp.v_steps, a_steps=cpp.a_steps,
+                    path_steps=cpp.path_steps)
+        if self._lon_spec != spec:
+            self._lon_solver, self._lon_reeval = lk.make_lon_solver(spec)
+            self._lon_spec = spec
+        return self._lon_solver, self._lon_reeval
+
+    def _path_dist_sl(self, cpp_lon):
+        """Frenet (s, l) of the path at each lon grid s index."""
+        S = cpp_lon.s_steps
+        dists = np.arange(S) * cpp_lon.s_step
+        a = dists / cpp_lon.path_step_size
+        i0 = np.clip(np.floor(a).astype(int), 0, len(self.path) - 1)
+        i1 = np.clip(np.ceil(a).astype(int), 0, len(self.path) - 1)
+        al = np.clip(a - i0, 0.0, 1.0)[:, None]
+        interp = self.path[i0] * (1.0 - al) + self.path[i1] * al
+        return interp[:, [PC_S, PC_L]]
+
+    # ------------------------------------------------------------------
+
+    def update_planner(self, env, params):
+        """(poly_lat_dp_lon_planner.py:133-184)"""
+        start = time.perf_counter()
+
+        self.poly_lat.reinit_buffers(params.cpp_lat)
+        new_traj_lat = self.poly_lat.update(self.poly_lat_start,
+                                            self.dp_env.cpp_env)
+
+        if self.traj_lat is None:
+            self.traj_lat = new_traj_lat
+        else:
+            self.traj_lat.insert_after_station(self.poly_lat_start["s"],
+                                               new_traj_lat)
+
+        # resample lateral trajectory into the lon planner's path
+        cpp_lon = params.cpp_lon
+        dists = np.arange(0.0, cpp_lon.path_steps * cpp_lon.path_step_size,
+                          cpp_lon.path_step_size)
+        lat = self.traj_lat.lerp(dists)
+        # PathState columns [x, y, s, l, k, v_max, distance]
+        self.path = lat[:, [TC_X, TC_Y, TC_S, TC_L, TC_K, TC_V, TC_DIST]]
+
+        self.path[:, PC_VMAX] = curv_to_vel_profile(
+            self.path[:, PC_K], self.path[:, PC_VMAX],
+            params.cpp_lat.a_lat_abs_max)
+        self.path[:, PC_VMAX] = rampify_profile(
+            None, None, self.path[:, PC_VMAX],
+            cpp_lon.a_min, cpp_lon.a_max, cpp_lon.j_min, cpp_lon.j_max,
+            1.0, 1.0)[:, 0]
+
+        # project previous trajectory point onto the new path
+        self.traj_point_prev = np.array([
+            lerp_xs(env.t + params.dead_time, self.trajectory_np[:, 0],
+                    self.trajectory_np[:, 2]),
+            lerp_xs(env.t + params.dead_time, self.trajectory_np[:, 0],
+                    self.trajectory_np[:, 3])])
+        path_proj = util.project(self.path[:, :2], self.traj_point_prev)
+        self.dp_lon_start[LC_S] = path_proj.arc_len
+
+        solver, _ = self._get_lon(cpp_lon)
+        dist_path = self.dp_env.cpp_env.update_dist_map_path(
+            self._path_dist_sl(cpp_lon))
+
+        # offset path x/y for the device (f32) frame
+        dev_path = self.path.copy()
+        dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
+        dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
+
+        nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
+                             cpp_lon.dynamic_dict(),
+                             jnp.asarray(self.dp_lon_start, jnp.float32))
+        self._lon_nodes = nodes
+        self.traj_lon = np.asarray(traj, dtype=np.float64)
+
+        self.runtime_dp = time.perf_counter() - start
+        self.last_replan_time = env.t
+
+    def update_trajectory(self, env, params):
+        """(poly_lat_dp_lon_planner.py:186-246)"""
+        cpp_lon = params.cpp_lon
+        ts = np.arange(0.0, (cpp_lon.t_steps - 1) * cpp_lon.dt, 0.1)
+
+        lon_states = np.stack([lon_traj_state(self.traj_lon, t) for t in ts])
+        lat_states = self.traj_lat.lerp(lon_states[:, LC_S])
+
+        traj_np = np.zeros((len(ts), 8))
+        traj_np[:, 0] = ts + env.t + params.dead_time
+        traj_np[:, 1] = lat_states[:, TC_S]
+        traj_np[:, 2] = lat_states[:, TC_X]
+        traj_np[:, 3] = lat_states[:, TC_Y]
+        traj_np[:, 4] = lon_states[:, LC_V]
+        traj_np[:, 5] = lon_states[:, LC_A]
+        traj_np[:, 6] = lat_states[:, TC_H]
+        traj_np[:, 7] = lat_states[:, TC_K]
+
+        ts_dead = np.arange(env.t, env.t + params.dead_time, 0.1)
+        if len(ts_dead) > 0 and self.trajectory_np is not None:
+            dead = np.stack([
+                lerp_xs(t, self.trajectory_np[:, 0], self.trajectory_np)
+                for t in ts_dead])
+            for i, t in enumerate(ts_dead):
+                dead[i, 6] = lerp_xs(t, self.trajectory_np[:, 0],
+                                     self.trajectory_np[:, 6], angle=True)
+            traj_np = np.concatenate((dead, traj_np), axis=0)
+
+        if not self.is_traj_valid(self.traj_lon):
+            self.invalid_counter += 1
+        else:
+            self.invalid_counter = 0
+
+        if self.invalid_counter > 10:
+            self.invalid_counter = 0
+            self.emergency_counter = 50
+        self.emergency_counter = max(0, self.emergency_counter - 1)
+
+        traj = Trajectory()
+        traj.emergency = self.emergency_counter > 0
+        if not traj.emergency:
+            traj.time = traj_np[:, 0]
+            traj.s = traj_np[:, 1]
+            traj.x = traj_np[:, 2]
+            traj.y = traj_np[:, 3]
+            traj.velocity = traj_np[:, 4]
+            traj.acceleration = traj_np[:, 5]
+            traj.orientation = traj_np[:, 6]
+            traj.curvature = traj_np[:, 7]
+            self.trajectory_np = traj_np
+
+        self.trajectory = traj
+
+    def reset_initial_state(self, env, params):
+        """(poly_lat_dp_lon_planner.py:248-295)"""
+        veh = env.vehicle_state
+
+        self.traj_lon = None
+        self.traj_lat = None
+        self.path = None
+        self.trajectory_np = None
+
+        ts = np.arange(0.0, 10.0, 0.1)
+        self.trajectory_np = np.zeros((len(ts), 8))
+        self.trajectory_np[:, 0] = ts + env.t
+        self.trajectory_np[:, 1] = ts * veh.v
+        self.trajectory_np[:, 2] = veh.x + np.cos(veh.phi) \
+            * (ts * veh.v + veh.wheel_base * 0.5)
+        self.trajectory_np[:, 3] = veh.y + np.sin(veh.phi) \
+            * (ts * veh.v + veh.wheel_base * 0.5)
+        self.trajectory_np[:, 4] = veh.v
+        self.trajectory_np[:, 6] = veh.phi
+
+        ref_proj = util.project(self.dp_env.ref_line[:, :2],
+                                [veh.x, veh.y])
+        self.poly_lat_start = dict(
+            l=ref_proj.distance,
+            dl=np.tan(veh.phi - ref_proj.angle),
+            ddl=0.0,
+            s=0.0,
+            v=veh.v)
+
+        self.dp_lon_start = np.zeros(7)
+        self.dp_lon_start[LC_V] = veh.v
+        self.dp_lon_start[LC_A] = min(params.cpp_lon.a_max,
+                                      max(0.0, veh.a))
+
+    def shift_trajectory(self, env, params):
+        """(poly_lat_dp_lon_planner.py:297-330)"""
+        if self.traj_lon is None:
+            return
+
+        shift = env.local_map.shift_idx_start_ref \
+            * env.local_map.step_size_ref
+
+        self.traj_lat.points[:, TC_S] -= shift
+        self.traj_lat.points = self.traj_lat.points[
+            self.traj_lat.points[:, TC_S] >= 0.0]
+        if len(self.traj_lat.points) == 0:
+            self.traj_lon = None
+            return
+
+        start_pt = self.traj_lat.lerp_one(
+            params.dist_path_fix_min
+            + params.dist_path_fix * env.vehicle_state.v)
+        self.poly_lat_start = dict(
+            l=start_pt[TC_L], dl=start_pt[TC_DL], ddl=start_pt[TC_DDL],
+            s=start_pt[TC_S], v=env.vehicle_state.v)
+
+        self.trajectory_np[:, 1] -= shift
+
+        dt_update = env.t - self.last_update_time
+        self.traj_lon[:, LC_T] -= dt_update
+        keep = self.traj_lon[self.traj_lon[:, LC_T] > 0.0]
+        head = lon_traj_state(self.traj_lon, 0.0)
+        self.traj_lon = np.vstack([head[None, :], keep])
+
+        self.dp_lon_start = self.traj_lon[0].copy()
+        self.dp_lon_start[LC_A] = min(params.cpp_lon.a_max, max(
+            params.cpp_lon.a_min, self.dp_lon_start[LC_A]))
+
+    def check_replan(self, env, params):
+        """(poly_lat_dp_lon_planner.py:332-392)"""
+        veh = env.vehicle_state
+        self.ref_proj = util.project(env.local_map.path[:, :2],
+                                     [veh.x, veh.y])
+
+        if not veh.automated:
+            self.state_reinit_msg = ""
+            self.reset_initial_state(env, params)
+            if env.t - self.last_replan_time >= 1.0:
+                return True
+
+        reset_required = self.reset_counter != env.reset_counter
+        self.reset_counter = env.reset_counter
+
+        if (self.traj_lon is None or reset_required
+                or self.trajectory.emergency):
+            self.state_reinit_msg = ""
+            self.reset_initial_state(env, params)
+            return True
+
+        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
+        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
+        if len(self.trajectory.x) > 0:
+            d_traj = np.linalg.norm([self.trajectory.x[0] - x_cog,
+                                     self.trajectory.y[0] - y_cog])
+            if abs(d_traj) > params.d_reinit:
+                self.state_reinit_msg = ("Warning: Planner reinit, "
+                                         "distance to trajectory too high")
+                self.reset_initial_state(env, params)
+                return True
+
+        if len(self.traj_lon) < params.cpp_lon.t_steps:
+            return True
+
+        if env.t - self.last_replan_time > params.replan_time_step:
+            return True
+
+        # re-evaluate against the fresh environment
+        if self._lon_nodes is not None and self.path is not None:
+            _, reeval = self._get_lon(params.cpp_lon)
+            dist_path = self.dp_env.cpp_env.update_dist_map_path(
+                self._path_dist_sl(params.cpp_lon))
+            dev_path = self.path.copy()
+            dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
+            dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
+            traj = reeval(dist_path, jnp.asarray(dev_path, jnp.float32),
+                          params.cpp_lon.dynamic_dict(),
+                          jnp.asarray(self.traj_lon, jnp.float32),
+                          self._lon_nodes)
+            self.traj_lon = np.asarray(traj, dtype=np.float64)
+            if not self.is_traj_valid(self.traj_lon):
+                return True
+
+        return False
+
+    def write_debug_data(self, t, params, veh):
+        if not params.write_debug_data:
+            return
+        if self.traj_lon is None or self.traj_lat is None:
+            return
+        with self.lock_shared():
+            dbg = self.shared.debug.planner
+            dbg.traj_point_prev = self.traj_point_prev
+            dbg.traj_lon = self.traj_lon.copy()
+            dbg.traj_lat = self.traj_lat.points.copy()
+            dbg.path = None if self.path is None else self.path.copy()
+            dbg.runtime_dp = self.runtime_dp
+
+    def update(self, sh_env):
+        env = self.env
+
+        with sh_env.lock():
+            env.t = sh_env.t
+            env.reset_counter = sh_env.reset_counter
+            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
+            env.local_map = copy.deepcopy(sh_env.local_map)
+            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
+            env.selected_map = copy.deepcopy(sh_env.selected_map)
+            env.tracks = copy.deepcopy(sh_env.tracks)
+            env.predicted = copy.deepcopy(sh_env.predicted)
+            env.man_time_cons = copy.deepcopy(sh_env.man_time_cons)
+
+        params = self.update_params(env)
+
+        update_needed = True
+        if env.local_map is None:
+            update_needed = False
+
+        if env.t == self.last_update_time and not params.update_always:
+            time.sleep(0.001)
+            update_needed = False
+
+        if env.t < self.last_update_time:
+            self.last_update_time = 0.0
+
+        if update_needed:
+            self.dp_env.update(env)
+
+            self.shift_trajectory(env, params)
+            if self.check_replan(env, params):
+                self.update_planner(env, params)
+            self.update_trajectory(env, params)
+
+            self.last_update_time = env.t
+
+        self.write_debug_data(env.t, params, env.vehicle_state)
+
+        return self.trajectory
