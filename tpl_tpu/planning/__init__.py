@@ -12,3 +12,5 @@ from tpl_tpu.planning.dyn_prog import (
     DpLatLonPlanner,
     PolyLatDpLonPlanner,
 )
+from tpl_tpu.planning.idm_sampling import IdmSamplingPlanner
+from tpl_tpu.planning.poly_sampling import PolySamplingPlanner
