@@ -11,6 +11,7 @@ from tpl_tpu.planning.dyn_prog import (
     DpEnvironment,
     DpLatLonPlanner,
     PolyLatDpLonPlanner,
+    DpPolyPlanner,
 )
 from tpl_tpu.planning.idm_sampling import IdmSamplingPlanner
 from tpl_tpu.planning.poly_sampling import PolySamplingPlanner

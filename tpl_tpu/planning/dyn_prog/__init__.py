@@ -8,3 +8,4 @@ from tpl_tpu.planning.dyn_prog.dp_lat_lon_planner import DpLatLonPlanner
 from tpl_tpu.planning.dyn_prog.poly_lat_dp_lon_planner import (
     PolyLatDpLonPlanner,
 )
+from tpl_tpu.planning.dyn_prog.dp_poly_planner import DpPolyPlanner

@@ -202,6 +202,50 @@ def _dist_map_path(occ_map, path_sl, s_min, s_step, l_min, l_step):
     return d
 
 
+@functools.partial(jax.jit, static_argnames=("dir_steps", "ray_steps"))
+def _dir_dist_map(occ_map, s_min, s_step, l_min, l_step, dir_min, dir_max,
+                  ds_max, dir_steps, ray_steps):
+    """Ray-marched directional distance field per time slice.
+
+    (reference: env.cu:160-214 updateDirDistMap) Returns (T, S, L, D).
+    """
+    T, S, L = occ_map.shape
+    f32 = jnp.float32
+    angles = dir_min + jnp.arange(dir_steps, dtype=f32) \
+        * (dir_max - dir_min) / (dir_steps - 1)
+    step_size = jnp.minimum(s_step, l_step)
+    ds = step_size * jnp.cos(angles)               # (D,)
+    dl = step_size * jnp.sin(angles)
+
+    ss = s_min + jnp.arange(S, dtype=f32) * s_step
+    ls = l_min + jnp.arange(L, dtype=f32) * l_step
+
+    i_steps = jnp.arange(ray_steps, dtype=f32)     # (R,)
+
+    # sample positions: (S, L, D, R)
+    s_ray = ss[:, None, None, None] + ds[None, None, :, None] \
+        * i_steps[None, None, None, :]
+    l_ray = ls[None, :, None, None] + dl[None, None, :, None] \
+        * i_steps[None, None, None, :]
+
+    is_f = (s_ray - s_min) / s_step
+    il_f = (l_ray - l_min) / l_step
+    out_of_grid = ((is_f <= 0.0) | (is_f >= S) | (il_f <= 0.0)
+                   | (il_f >= L))
+    is_i = jnp.clip(is_f, 0, S - 1).astype(jnp.int32)
+    il_i = jnp.clip(il_f, 0, L - 1).astype(jnp.int32)
+
+    def per_t(occ_t):
+        occ_hit = occ_t[is_i, il_i] > 0.0          # (S, L, D, R)
+        blocked = occ_hit | out_of_grid
+        any_block = jnp.any(blocked, axis=-1)
+        first = jnp.argmax(blocked, axis=-1).astype(f32)
+        dist = jnp.where(any_block, first * step_size, 10000.0)
+        return dist
+
+    return jax.vmap(per_t)(occ_map)
+
+
 def gen_prediction_quads(pred_states, hull, path, ts, station_step_size=5.0,
                          expansion_rate=0.0, sweep_length=0.5):
     """Swept prediction footprint as convex quads with time stamps.
@@ -399,6 +443,21 @@ class DpEnvironment:
                               jnp.float32(p.s_min), jnp.float32(p.s_step_size),
                               jnp.float32(p.l_min), jnp.float32(p.l_step_size))
 
+    def update_dir_dist_map(self, ray_steps=None):
+        """Compute the directional distance field (T, S, L, D) and cache it
+        on the grid."""
+        p = self.params
+        if ray_steps is None:
+            ray_steps = int(p.ds_max / min(p.s_step_size, p.l_step_size))
+        dd = _dir_dist_map(
+            self.grid.occ_map,
+            jnp.float32(p.s_min), jnp.float32(p.s_step_size),
+            jnp.float32(p.l_min), jnp.float32(p.l_step_size),
+            jnp.float32(p.dir_min), jnp.float32(p.dir_max),
+            jnp.float32(p.ds_max), p.dir_steps, ray_steps)
+        self.grid.dir_dist_map = dd
+        return dd
+
     # --- debug getters (env.cu:452-513) ---
 
     def get_occ_map(self):
@@ -406,3 +465,6 @@ class DpEnvironment:
 
     def get_dist_map_lon(self):
         return np.asarray(self.grid.dist_map_lon)
+
+    def get_dist_map_dir(self, idx_t):
+        return np.asarray(self.grid.dir_dist_map[idx_t])

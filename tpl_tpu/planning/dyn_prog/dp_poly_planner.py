@@ -1,0 +1,404 @@
+"""
+Graph/polynomial DP planner driver with a behavior decision layer
+(FollowBehavior / EvasiveBehavior configured and selected by cost).
+
+(reference: library/tpl/planning/dyn_prog/dp_poly_planner.py — note the
+reference snapshot's driver is unregistered work-in-progress referencing
+missing APIs; this driver keeps its structure and behavior layer but runs
+against this framework's DP environment.)
+"""
+
+import time
+import copy
+
+import numpy as np
+
+from tpl_tpu import util
+from tpl_tpu.util import Bundle
+from tpl_tpu.ops import rampify_profile, curv_to_vel_profile
+from tpl_tpu.ops.interp import lerp_xs, short_angle_dist
+from tpl_tpu.environment import EnvironmentState, map_module
+from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.dyn_prog.dp_environment import (
+    DpEnvironment, DpEnvParams, gen_prediction_quads,
+)
+from tpl_tpu.planning.dyn_prog.poly_planner_kernel import (
+    DpPolyParams, DpPolyPlannerKernel,
+    PP_T, PP_S, PP_DS, PP_DDS, PP_L, PP_DL, PP_DDL, PP_COST,
+)
+from tpl_tpu.ops.splines import PolyQuintic
+
+
+class Params:
+
+    def __init__(self):
+        self.update_always = False
+
+        self.a_lat_max = 2.5
+        self.j_max_v_profile = 1.5
+        self.j_min_v_profile = -1.5
+
+        self.replan_time = 1.0
+        self.dead_time = 0.0
+        self.d_reinit_lat = 0.5
+
+        self.write_debug_data = True
+
+        self.dp_env = DpEnvParams()
+        self.dp_planner = DpPolyParams()
+
+
+class Behavior:
+    """(reference: dp_poly_planner.py:48-93)"""
+
+    def __init__(self):
+        self.last_replan_time = 0.0
+        self.traj_dp = None
+        self.params = None
+
+    def configure(self, params):
+        pass
+
+    def valid(self):
+        return self.traj_dp is not None
+
+    def cost(self):
+        return float("inf")
+
+
+class FollowBehavior(Behavior):
+
+    def configure(self, params):
+        self.params = copy.deepcopy(params)
+        self.params.dp_planner.w_l = 10.0
+
+    def cost(self):
+        if not self.valid():
+            return float("inf")
+        return (1000.0 - self.traj_dp[-1, PP_S]
+                - self.params.dp_planner.length_veh)
+
+
+class EvasiveBehavior(Behavior):
+
+    def configure(self, params):
+        self.params = copy.deepcopy(params)
+        self.params.dp_planner.w_l = 0.1
+
+    def cost(self):
+        if not self.valid():
+            return float("inf")
+        return 1000.0 - self.traj_dp[-1, PP_S]
+
+
+def traj_point_at(traj, t):
+    """Quintic re-expansion between stored maneuver points.
+    (poly_planner.cu:157-186 DynProgPolyTraj::at)"""
+    ts = traj[:, PP_T]
+    i = int(np.clip(np.searchsorted(ts, t, side="right") - 1,
+                    0, max(len(ts) - 2, 0)))
+    j = min(i + 1, len(ts) - 1)
+    start, end = traj[i], traj[j]
+    t_end = traj[-1, PP_T]
+
+    res = np.zeros(8)
+    res[PP_T] = t
+    if t > t_end or j == i:
+        lon = PolyQuintic(start[PP_T], start[PP_S], start[PP_DS],
+                          start[PP_DDS], end[PP_T] + 1e-6, end[PP_S],
+                          end[PP_DS], end[PP_DDS])
+        res[PP_DS] = end[PP_DS]
+        res[PP_S] = end[PP_S] + res[PP_DS] * (t - t_end)
+        res[PP_L] = end[PP_L]
+        return res
+
+    lon = PolyQuintic(start[PP_T], start[PP_S], start[PP_DS], start[PP_DDS],
+                      end[PP_T], end[PP_S], end[PP_DS], end[PP_DDS])
+    lat = PolyQuintic(start[PP_T], start[PP_L], start[PP_DL], start[PP_DDL],
+                      end[PP_T], end[PP_L], end[PP_DL], end[PP_DDL])
+    res[PP_S] = lon.f(t)
+    res[PP_DS] = lon.df(t)
+    res[PP_DDS] = lon.ddf(t)
+    res[PP_L] = lat.f(t)
+    res[PP_DL] = lat.df(t)
+    res[PP_DDL] = lat.ddf(t)
+    return res
+
+
+class DpPolyPlanner(BasePlanner):
+
+    def __init__(self, shared, lock_shared):
+        np.seterr(divide="ignore", invalid="ignore")
+
+        self.shared = shared
+        self.lock_shared = lock_shared
+
+        self.reset_counter = 0
+        self.last_time = -1.0
+        self.last_reinit_time = -1.0
+
+        self.ref_line = None
+        self.ref_line_shift = 0.0
+        self.ref_line_step_size = 0.5
+        self.ref_proj = None
+
+        self.behavior_options = [FollowBehavior()]
+        self.behavior = self.behavior_options[0]
+
+        self.init_state = None
+        self.trajectory = Trajectory()
+        self.trajectory_np = None
+
+        self.dp_env = DpEnvironment()
+        self.dp_planner = DpPolyPlannerKernel()
+
+        self.runtime_planning = 0.0
+        self.runtime_environment = 0.0
+
+        with self.lock_shared():
+            self.shared.params = Params()
+            self.shared.debug = Bundle()
+
+    def update_params(self, env):
+        veh = env.vehicle_state
+        with self.lock_shared():
+            params = self.shared.params
+            length_veh = veh.rear_axis_to_front + veh.rear_axis_to_rear
+            params.dp_planner.length_veh = length_veh
+            params.dp_planner.width_veh = veh.width
+            params.dp_env.dilation = np.sqrt(2.0) * veh.width * 0.5
+            sh_params = copy.deepcopy(params)
+        return sh_params
+
+    def update_reference_line(self, env, params):
+        """(dp_poly_planner.py:182-226)"""
+        if self.ref_line is not None:
+            proj_prev = util.project(self.ref_line[:, :2],
+                                     env.local_map.path[0, :2])
+            self.ref_line_shift = round(
+                proj_prev.arc_len / self.ref_line_step_size) \
+                * self.ref_line_step_size
+
+        self.ref_line = np.zeros((len(env.local_map.path), 9))
+        self.ref_line[:, :6] = env.local_map.path
+        self.ref_line[:, 6] = env.local_map.d_left
+        self.ref_line[:, 7] = env.local_map.d_right
+        self.ref_line_step_size = env.local_map.step_size_ref
+
+        self.ref_line[:, 5] = curv_to_vel_profile(
+            self.ref_line[:, 4], self.ref_line[:, 5], params.a_lat_max)
+
+        idxs_zero = self.ref_line[:, 5] < 1.0
+        self.ref_line[:, 5] = rampify_profile(
+            None, None, self.ref_line[:, 5],
+            params.dp_planner.dds_min, params.dp_planner.dds_max,
+            params.j_min_v_profile, params.j_max_v_profile,
+            1.0, env.local_map.step_size_ref)[:, 0]
+        self.ref_line[idxs_zero, 5] = 0.0
+
+        for ip in env.local_map.intersection_paths:
+            if not ip.stop_proj.in_bounds:
+                continue
+            i0 = ip.stop_proj.end
+            self.ref_line[i0:i0 + 10, 8] = 1.0
+
+    def update_environment(self, env, params):
+        start = time.perf_counter()
+        self.dp_env.reinit_buffers(params.dp_env)
+        self.dp_env.set_ref_line(self.ref_line, self.ref_line_step_size)
+
+        maps = {m.uuid: m for m in env.get_relevant_maps()}
+        for obj in env.predicted:
+            for pred in obj.predictions:
+                m = maps.get(pred.uuid_assoc_map)
+                if m is None:
+                    continue
+                ts = np.array([0.0, *(params.dp_env.dt_start
+                                      + pred.states[:-1, 0])])
+                quads = gen_prediction_quads(
+                    pred.states, obj.hull, m.path[:, :2], ts,
+                    station_step_size=5.0, sweep_length=0.5)
+                self.dp_env.insert_geometry(quads, obj.stationary)
+
+        self.dp_env.update()
+        self.dp_env.update_dir_dist_map()
+        self.runtime_environment = (time.perf_counter() - start) * 1000.0
+
+    def update_planner(self, env, params, replan):
+        if not replan:
+            return
+        self.behavior.configure(params)
+        self.dp_planner.reinit_buffers(self.behavior.params.dp_planner)
+
+        start = time.perf_counter()
+        self.behavior.traj_dp = self.dp_planner.update(
+            self.init_state, self.dp_env)
+        self.runtime_planning = (time.perf_counter() - start) * 1000.0
+        self.behavior.last_replan_time = env.t
+
+        # pick the lowest-cost valid behavior
+        best = min(self.behavior_options, key=lambda b: b.cost())
+        if best.valid():
+            self.behavior = best
+
+    def update_trajectory(self, env, params):
+        p = params.dp_planner
+        traj_dp = self.behavior.traj_dp
+
+        ts = np.arange(traj_dp[0, PP_T], (p.t_steps - 1) * p.dt, p.dt_cart)
+        pts = np.stack([traj_point_at(traj_dp, t) for t in ts])
+
+        # frenet -> cartesian (poly_planner.cu:446-494)
+        cpp_env = self.dp_env.cpp_env if hasattr(self.dp_env, "cpp_env") \
+            else self.dp_env
+        rl = cpp_env.ref_line
+        grid_s = np.arange(len(rl)) * cpp_env.ref_step
+        x_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 0])
+        y_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 1])
+        h_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 2], angle=True)
+        k_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 3])
+
+        n = len(pts)
+        cart = np.zeros((n, 8))
+        cart[:, 0] = pts[:, PP_T] + env.t + params.dead_time
+        cart[:, 2] = cpp_env.x_offset + x_r - pts[:, PP_L] * np.sin(h_r)
+        cart[:, 3] = cpp_env.y_offset + y_r + pts[:, PP_L] * np.cos(h_r)
+        cart[:, 6] = np.where(
+            pts[:, PP_DS] < 1e-3, h_r,
+            np.arctan(pts[:, PP_DL] / np.maximum(pts[:, PP_DS], 1e-9))
+            + h_r)
+        cart[:, 4] = np.sqrt(
+            ((1.0 - k_r * pts[:, PP_L]) * pts[:, PP_DS]) ** 2
+            + pts[:, PP_DL] ** 2)
+        if n > 1:
+            dxy = np.diff(cart[:, 2:4], axis=0)
+            seg = np.hypot(dxy[:, 0], dxy[:, 1])
+            cart[1:, 1] = np.cumsum(seg)
+            dt_ = np.maximum(np.diff(cart[:, 0]), 1e-9)
+            cart[:-1, 5] = np.diff(cart[:, 4]) / dt_
+            cart[-1, 5] = cart[-2, 5]
+            cart[:-1, 7] = short_angle_dist(cart[:-1, 6], cart[1:, 6]) \
+                / np.maximum(seg, 1e-9)
+            cart[-1, 7] = cart[-2, 7]
+
+        traj = Trajectory()
+        traj.time = cart[:, 0]
+        traj.s = cart[:, 1]
+        traj.x = cart[:, 2]
+        traj.y = cart[:, 3]
+        traj.velocity = cart[:, 4]
+        traj.acceleration = cart[:, 5]
+        traj.orientation = cart[:, 6]
+        traj.curvature = cart[:, 7]
+
+        self.trajectory_np = cart
+        self.trajectory = traj
+
+    def reset_initial_state(self, veh, params):
+        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
+        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
+        proj = util.project(self.ref_line[:, :2], [x_cog, y_cog])
+
+        self.init_state = np.zeros(8)
+        self.init_state[PP_S] = proj.arc_len + veh.v * params.dead_time
+        self.init_state[PP_DS] = veh.v
+        self.init_state[PP_L] = self.ref_proj.distance
+        self.trajectory_np = None
+
+    def update_initial_state(self, env, params):
+        """(dp_poly_planner.py:344-410)"""
+        veh = env.vehicle_state
+        self.ref_proj = util.project(env.local_map.path[:, :2],
+                                     [veh.x, veh.y])
+
+        t_traj = env.t - self.last_reinit_time
+        self.last_reinit_time = env.t
+
+        if not veh.automated:
+            self.reset_initial_state(veh, params)
+            return True
+
+        reset_required = self.reset_counter != env.reset_counter
+        self.reset_counter = env.reset_counter
+
+        if self.behavior.traj_dp is None or reset_required:
+            self.reset_initial_state(veh, params)
+            return True
+
+        if self.trajectory_np is not None and len(self.trajectory.x):
+            pos_traj = np.vstack([self.trajectory.x,
+                                  self.trajectory.y]).T
+            x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
+            y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
+            d_lat = util.project(pos_traj, [x_cog, y_cog]).distance
+            if abs(d_lat) > params.d_reinit_lat:
+                self.reset_initial_state(veh, params)
+                return True
+
+        # shift trajectory
+        self.init_state = traj_point_at(self.behavior.traj_dp, t_traj)
+        self.init_state[PP_T] = 0.0
+        self.init_state[PP_S] -= self.ref_line_shift
+
+        shifted = [self.init_state]
+        for s in self.behavior.traj_dp[1:]:
+            p = traj_point_at(self.behavior.traj_dp, s[PP_T])
+            p[PP_T] -= t_traj
+            p[PP_S] -= self.ref_line_shift
+            if p[PP_T] > 0.0:
+                shifted.append(p)
+        self.behavior.traj_dp = np.stack(shifted)
+
+        if env.t - self.behavior.last_replan_time >= params.replan_time:
+            return True
+        if params.update_always:
+            return True
+        return False
+
+    def write_debug_data(self, t, params, veh):
+        with self.lock_shared():
+            dbg = self.shared.debug
+            dbg.ref_line = self.ref_line
+            dbg.runtime_planning = self.runtime_planning
+            dbg.runtime_environment = self.runtime_environment
+            if self.behavior.traj_dp is not None:
+                dbg.traj_dp = self.behavior.traj_dp.copy()
+
+    def update(self, sh_env):
+        env = EnvironmentState()
+        with sh_env.lock():
+            if sh_env.local_map is None:
+                return self.trajectory
+            env.t = sh_env.t
+            env.reset_counter = sh_env.reset_counter
+            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
+            env.local_map = copy.deepcopy(sh_env.local_map)
+            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
+            env.selected_map = copy.deepcopy(sh_env.selected_map)
+            env.predicted = copy.deepcopy(sh_env.predicted)
+
+        params = self.update_params(env)
+
+        update_needed = True
+        if self.last_time == env.t and not params.update_always:
+            time.sleep(0.001)
+            update_needed = False
+
+        if self.last_time > env.t:
+            self.last_reinit_time = 0.0
+            for b in self.behavior_options:
+                b.last_replan_time = 0.0
+
+        if update_needed:
+            self.last_time = env.t
+            self.update_reference_line(env, params)
+            self.update_environment(env, params)
+            replan = self.update_initial_state(env, params)
+            self.update_planner(env, params, replan)
+            self.update_trajectory(env, params)
+
+        if params.write_debug_data:
+            self.write_debug_data(env.t, params, env.vehicle_state)
+
+        return self.trajectory
