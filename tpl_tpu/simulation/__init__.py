@@ -12,3 +12,9 @@ from tpl_tpu.simulation.state import (
 )
 from tpl_tpu.simulation.core import SimCore
 from tpl_tpu.simulation.standalone import SimStandalone
+from tpl_tpu.simulation.record import (
+    SimRecorder,
+    SimReplay,
+    SimAttach,
+    load_recording,
+)

@@ -153,7 +153,11 @@ class StoreRegistry:
         with StoreRegistry._LOCK:
             store = StoreRegistry.REGISTRY.get(path)
             if store is None:
-                store = Store()
+                if os.environ.get("TPL_TPU_SHM") == "1":
+                    from tpl_tpu.util.shm_store import ShmStore
+                    store = ShmStore(path, reinit=reinit)
+                else:
+                    store = Store()
                 StoreRegistry.REGISTRY[path] = store
             return store
 
