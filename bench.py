@@ -3,13 +3,17 @@ Benchmark harness. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Measures (BASELINE.json metric: "MPC solves/s/chip + p99 replan latency
-(RSTP, 100-step horizon)"):
-  - batched MPC tracking solves per second per chip (vmap over scenarios)
+(RSTP, 100-step horizon)"; target >= 10k batched rollouts/s/chip):
+  - batched closed-loop rollouts per second per chip (IDM sampling kernel:
+    100-step Stanley+IDM rollouts with leader lookups and SAT collision
+    evaluation against 12 predicted objects)
+  - batched MPC tracking solves per second per chip (full AL-iLQR solves,
+    vmap over scenarios)
   - single-instance RSTP replan latency p99 (lateral profile + velocity
     profile solves on a 100-step horizon, warm-started, like one
     receding-horizon tick)
 
-vs_baseline: batched solves/s against the 10k rollouts/s/chip target.
+vs_baseline: rollouts/s against the 10k rollouts/s/chip target.
 """
 
 import json
@@ -42,6 +46,70 @@ def bench_batched_mpc(batch=256, iters=20, horizon=60, max_iterations=8):
     jax.block_until_ready(out.u)
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def bench_idm_rollouts(candidates=1024, iters=10):
+    """Closed-loop rollout throughput (the BASELINE.json rollout target)."""
+    from tpl_tpu.planning.idm_sampling import idm_kernel
+    from tpl_tpu.planning.idm_sampling.idm_kernel import IdmSamplingParams
+
+    NR = 801
+    spec = dict(steps_t=100, n_ref=NR, n_obj=12, n_pred=16, n_hull=16)
+    kernel = idm_kernel.make_idm_kernel(spec)
+
+    rl = np.zeros((NR, 7), np.float32)
+    rl[:, 0] = np.arange(NR) * 0.5 - 200.0
+    rl[:, 4] = 12.0
+    rl[:, 5] = 4.0
+    rl[:, 6] = 4.0
+
+    objs = dict(
+        pred_t=np.tile(np.arange(16, dtype=np.float32), (12, 1)),
+        pred_xy=np.zeros((12, 16, 2), np.float32),
+        pred_heading=np.zeros((12, 16), np.float32),
+        pred_v=np.zeros((12, 16), np.float32),
+        pred_dists=np.tile(np.arange(16, dtype=np.float32), (12, 1)),
+        hull_preds=np.zeros((12, 16, 16, 2), np.float32),
+        hull_projs=np.full((12, 16, 4), -1000.0, np.float32),
+        radius_hull=np.ones(12, np.float32),
+        valid=np.ones(12, bool),
+        on_local_map=np.ones(12, bool))
+    box = np.array([[-2, -1], [2, -1], [2, 1], [-2, 1]] * 4, np.float32)
+    for i in range(12):
+        objs["pred_xy"][i, :, 0] = 30.0 + 10 * i + np.arange(16) * 2.0
+        objs["pred_xy"][i, :, 1] = (i % 3 - 1) * 2.5
+        objs["hull_preds"][i] = objs["pred_xy"][i][:, None, :] + box[None]
+
+    pp = IdmSamplingParams()
+    pp.width_veh = 2.0
+    pp.length_veh = 5.0
+    pp.radius_veh = 2.7
+    pp.dist_front_veh = 3.8
+    pp.dist_back_veh = -1.1
+    ppd = pp.dynamic_dict()
+
+    init_ref = np.zeros(10, np.float32)
+    init_ref[4] = 8.0
+    init_con = np.zeros(9, np.float32)
+    init_con[5] = 8.0
+
+    C = candidates
+    l_trgs = jnp.asarray(np.linspace(-3, 3, C), jnp.float32)
+    d_stops = jnp.full(C, 1e6, jnp.float32)
+    objs_dev = {k: jnp.asarray(v) for k, v in objs.items()}
+
+    def call():
+        return kernel(jnp.asarray(init_ref), jnp.asarray(init_con),
+                      l_trgs, d_stops, jnp.float32(0.1), jnp.asarray(rl),
+                      jnp.float32(0.5), objs_dev, ppd, jnp.float32(0.0))
+
+    jax.block_until_ready(call()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = call()
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    return C * iters / dt
 
 
 def bench_rstp_replan(horizon=100, iters=100):
@@ -107,15 +175,17 @@ def bench_rstp_replan(horizon=100, iters=100):
 
 def main():
     platform = jax.devices()[0].platform
-    solves_per_s = bench_batched_mpc()
+    rollouts_per_s = bench_idm_rollouts()
+    solves_per_s = bench_batched_mpc(batch=2048, iters=5)
     p99_ms, mean_ms = bench_rstp_replan()
 
     result = {
-        "metric": "mpc_solves_per_s_per_chip",
-        "value": round(solves_per_s, 1),
-        "unit": "solves/s",
+        "metric": "batched_rollouts_per_s_per_chip",
+        "value": round(rollouts_per_s, 1),
+        "unit": "rollouts/s",
         # target from BASELINE.json: >=10k batched rollouts/s/chip
-        "vs_baseline": round(solves_per_s / 10000.0, 3),
+        "vs_baseline": round(rollouts_per_s / 10000.0, 3),
+        "mpc_solves_per_s_per_chip": round(solves_per_s, 1),
         "rstp_replan_p99_ms": round(p99_ms, 2),
         "rstp_replan_mean_ms": round(mean_ms, 2),
         "replan_budget_ms": 20.0,

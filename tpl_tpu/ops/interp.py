@@ -53,6 +53,20 @@ def _interp_indices(x0, dx, x, size, xp):
     return start, end, a
 
 
+# Gathers are slow on TPU inside scans; for moderate table sizes an
+# explicit hat-function / one-hot contraction maps to fused VPU ops
+# instead. Semantics are identical to the clamped-index lookups.
+_ONEHOT_MAX = 1024
+
+
+def _onehot_take(arr, idx):
+    """arr[idx] via one-hot contraction (jnp path)."""
+    c = arr.shape[0]
+    iota = jnp.arange(c)
+    onehot = (idx[..., None] == iota).astype(arr.dtype)
+    return jnp.sum(onehot * arr, axis=-1)
+
+
 def lerp(x0, dx, x, arr):
     """Linear interpolation into equally spaced 1-D array `arr`.
 
@@ -61,7 +75,13 @@ def lerp(x0, dx, x, arr):
     """
     xp = _xp(x, arr)
     arr = xp.asarray(arr)
-    start, end, a = _interp_indices(x0, dx, x, arr.shape[0], xp)
+    n = arr.shape[0]
+    if xp is jnp and n <= _ONEHOT_MAX:
+        # hat-function weights reproduce clamped linear interpolation
+        q = jnp.clip((jnp.asarray(x) - x0) / dx, 0.0, n - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(q[..., None] - jnp.arange(n)))
+        return jnp.sum(w * arr, axis=-1)
+    start, end, a = _interp_indices(x0, dx, x, n, xp)
     return (1.0 - a) * arr[start] + a * arr[end]
 
 
@@ -69,7 +89,12 @@ def lerp_angle(x0, dx, x, arr):
     """Like :func:`lerp` but interpolates along the short angular distance."""
     xp = _xp(x, arr)
     arr = xp.asarray(arr)
-    start, end, a = _interp_indices(x0, dx, x, arr.shape[0], xp)
+    n = arr.shape[0]
+    start, end, a = _interp_indices(x0, dx, x, n, xp)
+    if xp is jnp and n <= _ONEHOT_MAX:
+        v0 = _onehot_take(arr, start)
+        v1 = _onehot_take(arr, end)
+        return v0 + short_angle_dist(v0, v1) * a
     return arr[start] + short_angle_dist(arr[start], arr[end]) * a
 
 
@@ -78,6 +103,8 @@ def box_interp(dx, x, arr):
     xp = _xp(x, arr)
     arr = xp.asarray(arr)
     i = xp.clip(xp.floor(x / dx), 0, arr.shape[0] - 1).astype(int)
+    if xp is jnp and arr.shape[0] <= _ONEHOT_MAX:
+        return _onehot_take(arr, i)
     return arr[i]
 
 

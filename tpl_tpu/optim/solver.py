@@ -17,6 +17,7 @@ lookups behave exactly like the reference's variable-length arrays.
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpl_tpu.optim import ilqr
@@ -248,10 +249,15 @@ class Solver:
         new_state, info = fn(state, jnp.asarray(self._x[0], dtype),
                              self.params.as_dict(dtype), cfg)
 
-        self._x[:] = np.asarray(new_state.x, dtype=np.float64)
-        self._u[:] = np.asarray(new_state.u, dtype=np.float64)
-        self._lam[:] = np.asarray(new_state.lam, dtype=np.float64)
-        self._mu_step = int(new_state.mu_step)
-        self.traj_costs = float(info["traj_costs"])
+        # one host round trip for all results (d2h latency dominates on
+        # tunneled devices)
+        x_h, u_h, lam_h, mu_h, costs_h = jax.device_get(
+            (new_state.x, new_state.u, new_state.lam, new_state.mu_step,
+             info["traj_costs"]))
+        self._x[:] = np.asarray(x_h, dtype=np.float64)
+        self._u[:] = np.asarray(u_h, dtype=np.float64)
+        self._lam[:] = np.asarray(lam_h, dtype=np.float64)
+        self._mu_step = int(mu_h)
+        self.traj_costs = float(costs_h)
         self.runtime = (time.perf_counter() - start) * 1000.0
         return self
