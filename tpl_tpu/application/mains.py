@@ -23,10 +23,10 @@ os.environ.setdefault("TPL_TPU_SHM", "1")
 
 
 def _shared_env(app_id):
+    # app stores use the bare app_id prefix (planning_app.py convention)
     from tpl_tpu.util.shm_store import ShmObject
     from tpl_tpu.environment import EnvironmentState
-    prefix = f"{app_id}_" if app_id else ""
-    return ShmObject(EnvironmentState(), f"/{prefix}tpl_env")
+    return ShmObject(EnvironmentState(), f"/{app_id}tpl_env")
 
 
 def env_main(app_id="", env_params=None, max_ticks=None):

@@ -10,6 +10,7 @@ from tpl_tpu.optim import problems
 from tpl_tpu.optim.problems import (
     lateral_profile,
     velocity_profile_space,
+    velocity_profile_time,
     ref_line_smoother_k,
     ref_line_smoother_dk,
     trajectory_tracking_mpc,

@@ -282,6 +282,43 @@ def velocity_profile_space(ref_capacity=256):
     return prob, spec
 
 
+def velocity_profile_time(ref_capacity=256):
+    """Time-indexed velocity profile with spatio-temporal corridor.
+
+    States [s, v], action [a]; constraints: v bounds, s within
+    [s_min(t), s_max(t)] windows gated on positivity.
+    (reference: optimizers.py:297-349 — defined upstream but not in its
+    build list; provided here for completeness.)
+    """
+
+    def dynamics(x, u, t, dt, p):
+        return jnp.stack([x[1], u[0]])
+
+    def cost(x, u, t, dt, p):
+        v = x[1]
+        return p["w_v"] * (1000.0 - v) + p["w_a"] * u[0] ** 2
+
+    def constraints(x, u, t, dt, p):
+        s, v = x
+        v_max = lerp(0.0, p["ref_step"], s, p["ref_v"])
+        s_max = box_interp(1.0, t, p["ref_s_max"])
+        s_min = box_interp(1.0, t, p["ref_s_min"])
+        return jnp.stack([
+            0.0 - v,
+            v - v_max,
+            jnp.where(s_max > 0, s - s_max, 0.0),
+            jnp.where(s_min > 0, s_min - s, 0.0),
+        ])
+
+    prob = Problem("velocity_profile_time", nx=2, nu=1, nc=4,
+                   dynamics=dynamics, cost=cost, end_cost=None,
+                   constraints=constraints)
+    spec = dict(w_v=1.0, w_a=1.0, ref_v=ArraySpec(ref_capacity),
+                ref_step=0.5, ref_s_max=ArraySpec(ref_capacity),
+                ref_s_min=ArraySpec(ref_capacity))
+    return prob, spec
+
+
 def ref_line_smoother_k(ref_capacity=512):
     """Reference-line smoothing with curvature as the action.
     (reference: optimizers.py:431-490)

@@ -59,6 +59,10 @@ class SimCore:
         self.set_env_dynamic_objects_dt = 0.0
 
         sim.t = 0.0
+        # note: the reference does not reset `finished` here, so scenarios
+        # saved mid-run with finished=1 (e.g. acc_2024/rb_3o) terminate
+        # after one tick in its test harness; resetting restarts them
+        sim.finished = False
         sim.rule_checker.violations = []
         sim.settings.reload_requested = False
         self.manager = sim.manager

@@ -75,6 +75,29 @@ def run(args):
     return 0 if len(viols) == 0 else 1
 
 
+def attach(args):
+    """Drive externally running apps over shared memory.
+    (reference: tplsim attach)"""
+    import os
+    os.environ.setdefault("TPL_TPU_SHM", "1")
+    from tpl_tpu.simulation.record import SimAttach
+
+    sim = SimAttach(app_id=args.app_id, scenario_path=args.scenario)
+    while True:
+        sim.update()
+
+
+def replay(args):
+    """Replay a recording into the sim store. (reference: tplsim replay)"""
+    from tpl_tpu.simulation.record import SimReplay
+
+    rep = SimReplay(app_id=args.app_id, recording_path=args.recording)
+    while True:
+        step = rep.update()
+        if step >= len(rep.recording.sim_states) - 1:
+            break
+
+
 def main():
     parser = argparse.ArgumentParser(prog="tplsim")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -89,9 +112,21 @@ def main():
     p_run.add_argument("--seed", type=int, default=0)
     p_run.add_argument("--verbose", action="store_true", default=True)
 
+    p_att = sub.add_parser("attach")
+    p_att.add_argument("--scenario", default="default")
+    p_att.add_argument("--app-id", default="")
+
+    p_rep = sub.add_parser("replay")
+    p_rep.add_argument("--recording", required=True)
+    p_rep.add_argument("--app-id", default="")
+
     args = parser.parse_args()
     if args.cmd == "run":
         sys.exit(run(args))
+    elif args.cmd == "attach":
+        attach(args)
+    elif args.cmd == "replay":
+        replay(args)
 
 
 if __name__ == "__main__":
