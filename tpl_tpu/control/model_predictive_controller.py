@@ -135,12 +135,19 @@ class ModelPredictiveController(BaseController):
 
         opt.params.merge(vars(params.cost_function))
 
+        # center UTM coordinates around the reference start: the solver
+        # traces in float32 on device, where the ulp at UTM magnitude
+        # (~5e6) is 0.5 m — far too coarse for lateral dynamics.  The
+        # tracking problem only uses positions through differences
+        # (x - r_x, y - r_y), so a rigid translation is exact.
+        x_off, y_off = float(ref[0, 0]), float(ref[0, 1])
+
         opt.horizon = params.horizon
         opt.step = params.step
         opt.max_iterations = params.max_iterations
         opt.params.l = veh.wheel_base
-        opt.params.ref_x = ref[:, 0]
-        opt.params.ref_y = ref[:, 1]
+        opt.params.ref_x = ref[:, 0] - x_off
+        opt.params.ref_y = ref[:, 1] - y_off
         opt.params.ref_phi = ref[:, 2]
         opt.params.ref_k = ref[:, 4]
         opt.params.ref_v = ref[:, 5]
@@ -153,7 +160,8 @@ class ModelPredictiveController(BaseController):
         # dead-time compensation: forward-integrate the measured state
         # through the issued-control history (mpc:161-185)
 
-        x0 = np.array([veh.x, veh.y, veh.phi, veh.delta, veh.v, 0.0, veh.a])
+        x0 = np.array([veh.x - x_off, veh.y - y_off,
+                       veh.phi, veh.delta, veh.v, 0.0, veh.a])
 
         if veh.dead_time_steer > 0.0:
             x0s = []
@@ -169,8 +177,10 @@ class ModelPredictiveController(BaseController):
                 rt += self.cycle_time_estimate
             x0s.append(np.array([rt, *x0]))
             self.dead_time_trajectory = np.array(x0s)
+            self.dead_time_trajectory[:, 1] += x_off
+            self.dead_time_trajectory[:, 2] += y_off
 
-        proj = util.project(ref[:, :2], x0[:2])
+        proj = util.project(ref[:, :2] - (x_off, y_off), x0[:2])
         x0[5] = proj.arc_len
 
         opt.x[0] = x0
@@ -210,8 +220,8 @@ class ModelPredictiveController(BaseController):
 
         self.con_traj = Trajectory()
         self.con_traj.time = t + np.arange(0, opt.T * opt.dt, opt.dt)
-        self.con_traj.x = opt.x[:-1, 0].copy()
-        self.con_traj.y = opt.x[:-1, 1].copy()
+        self.con_traj.x = opt.x[:-1, 0] + x_off
+        self.con_traj.y = opt.x[:-1, 1] + y_off
         self.con_traj.orientation = opt.x[:-1, 2].copy()
         self.con_traj.velocity = opt.x[:-1, 4].copy()
         self.con_traj.curvature = np.tan(opt.x[:-1, 3]) / veh.wheel_base

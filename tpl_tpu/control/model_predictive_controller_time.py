@@ -120,12 +120,18 @@ class ModelPredictiveControllerTime(BaseController):
 
         opt.params.merge(vars(params.cost_function))
 
+        # center UTM coordinates around the reference start: the solver
+        # traces in float32 on device, where the ulp at UTM magnitude
+        # (~5e6) is 0.5 m.  Positions only enter through differences, so
+        # a rigid translation is exact.
+        x_off, y_off = float(traj.x[0]), float(traj.y[0])
+
         opt.horizon = params.horizon
         opt.step = params.step
         opt.max_iterations = params.max_iterations
         opt.params.l = veh.wheel_base
-        opt.params.ref_x = traj.x
-        opt.params.ref_y = traj.y
+        opt.params.ref_x = np.asarray(traj.x) - x_off
+        opt.params.ref_y = np.asarray(traj.y) - y_off
         opt.params.ref_phi = traj.orientation
         opt.params.ref_v = traj.velocity
         opt.params.ref_dt = params.ref_dt
@@ -138,8 +144,8 @@ class ModelPredictiveControllerTime(BaseController):
 
         # dead-time compensation through the issued-control history
         x0 = np.array([
-            veh.x + np.cos(veh.phi) * params.cog_pos * veh.wheel_base,
-            veh.y + np.sin(veh.phi) * params.cog_pos * veh.wheel_base,
+            veh.x - x_off + np.cos(veh.phi) * params.cog_pos * veh.wheel_base,
+            veh.y - y_off + np.sin(veh.phi) * params.cog_pos * veh.wheel_base,
             veh.phi,
             veh.delta,
             veh.v,
@@ -194,8 +200,8 @@ class ModelPredictiveControllerTime(BaseController):
 
         self.con_traj = Trajectory()
         self.con_traj.time = t + np.arange(0, opt.T * opt.dt, opt.dt)
-        self.con_traj.x = opt.x[:-1, 0].copy()
-        self.con_traj.y = opt.x[:-1, 1].copy()
+        self.con_traj.x = opt.x[:-1, 0] + x_off
+        self.con_traj.y = opt.x[:-1, 1] + y_off
         self.con_traj.orientation = opt.x[:-1, 2].copy()
         self.con_traj.velocity = opt.x[:-1, 4].copy()
         self.con_traj.curvature = np.tan(opt.x[:-1, 3]) / veh.wheel_base
