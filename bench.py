@@ -112,62 +112,34 @@ def bench_idm_rollouts(candidates=1024, iters=10):
     return C * iters / dt
 
 
-def bench_rstp_replan(horizon=100, iters=100):
-    """One receding-horizon RSTP tick: lateral profile solve + velocity
-    profile solve, warm-started, 100-step horizon."""
-    from tpl_tpu.optim import problems
-    from tpl_tpu.optim.solver import Solver
+def bench_rstp_replan(iters=100, warmup=25):
+    """One real receding-horizon RSTP replan tick, measured through the
+    actual planner: corridor construction on host, then the fused
+    single-dispatch device kernel (lateral iLQR solve -> bend/resample ->
+    leader selection -> rampify -> velocity iLQR solve) with one device
+    round trip per tick.  Scene: acc_2024/cv_3o (3 objects, one leader)."""
+    np.random.seed(0)
+    from tpl_tpu.simulation import SimStandalone
 
-    lat_prob, lat_spec = problems.lateral_profile(ref_capacity=256)
-    lat = Solver(lat_prob, lat_spec, horizon_max=horizon)
-    lat.horizon = horizon
-    lat.step = 0.5
-    lat.barrier_weight[:] = 1000.0
-    lat.lg_mult_limit = 0.0
-    lat.u_min[:] = -2.5
-    lat.u_max[:] = 2.5
-    lat.params.ref_step = 0.5
-    ss = np.arange(horizon) * 0.5
-    lat.params.k_ref = 0.01 * np.sin(ss * 0.1)
-    lat.params.d_offset = np.zeros(horizon)
-    lower = np.full(horizon, -2.0)
-    lower[40:60] = 1.0
-    lat.params.d_lower_constr = lower
-    lat.params.d_upper_constr = np.full(horizon, 3.0)
+    sim = SimStandalone(app_id="benchrstp", scenario_path="acc_2024/cv_3o")
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
 
-    vel_prob, vel_spec = problems.velocity_profile_space(ref_capacity=256)
-    vel = Solver(vel_prob, vel_spec, horizon_max=horizon)
-    vel.horizon = horizon
-    vel.step = 0.5
-    vel.max_iterations = 20
-    vel.barrier_weight[:] = 1000.0
-    vel.lg_mult_limit = 0.1
-    vel.u_min[:] = -2.5
-    vel.u_max[:] = 2.5
-    vel.params.ref_step = 0.5
-    v_ref = np.full(horizon, 10.0)
-    v_ref[70:] = 4.0
-    vel.params.ref_v = v_ref
-    vel.params.ref_k = 0.01 * np.sin(ss * 0.1)
-    vel.params.ref_t_max = np.full(horizon, 1e10)
-    vel.params.ref_t_min = np.zeros(horizon)
-    vel.params.ref_t_offset = np.ones(horizon)
-    vel.params.ref_v_weight = np.ones(horizon)
-    vel.x[0] = [8.0, 0.0]
+    planner = sim.planning_app.planners["path_vel_decomp_planner"]
+    with planner.lock_shared():
+        planner.shared.params.horizon = 100
 
-    # warm up / compile
-    lat.x[0] = [0.3, 0.0]
-    lat.update()
-    vel.update()
+    sh_env = sim.env_app.env
+    for _ in range(warmup):
+        sim.update()
 
     lats = []
-    for i in range(iters):
+    for _ in range(iters):
+        sim.update()
         t0 = time.perf_counter()
-        lat.shift(1)
-        lat.x[0, 0] += 0.001
-        lat.update()
-        vel.shift(1)
-        vel.update()
+        planner.update(sh_env)
         lats.append(time.perf_counter() - t0)
     lats = np.array(lats) * 1e3
     return float(np.percentile(lats, 99)), float(np.mean(lats))

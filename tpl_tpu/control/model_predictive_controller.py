@@ -74,7 +74,7 @@ class ModelPredictiveController(BaseController):
         self.lock_shared = lock_shared
 
         prob, spec = problems.trajectory_tracking_mpc(ref_capacity=128)
-        self.opt = Solver(prob, spec, horizon_max=60)
+        self.opt = Solver(prob, spec, horizon_max=60, device="cpu")
         self.opt.integrator_type = self.opt.HEUN
         self.opt.lg_mult_limit = 0.0
         self.opt.barrier_weight[:] = 10000.0

@@ -85,12 +85,24 @@ class Solver:
     RK4 = RK4
 
     def __init__(self, problem, param_spec, horizon_max,
-                 integrator_type=EULER, dtype=jnp.float32):
+                 integrator_type=EULER, dtype=jnp.float32, device=None):
         self.problem = problem
         self.horizon_max = horizon_max
         self.dtype = dtype
         self._integrator = integrator_type
         self._update_fns = {}
+
+        # device="cpu" pins the solve to the host CPU backend.  A
+        # single-instance iLQR solve is a latency-bound serial workload
+        # (hundreds of dependent scan steps of tiny math) that the host
+        # runs ~10x faster than an accelerator behind a network tunnel;
+        # batched/vmapped solves should keep the default placement.
+        self._device = None
+        if device == "cpu":
+            try:
+                self._device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._device = None
 
         nx, nu = problem.nx, problem.nu
         nc = max(problem.nc, 1)
@@ -220,6 +232,12 @@ class Solver:
         return fn
 
     def update(self):
+        if self._device is not None:
+            with jax.default_device(self._device):
+                return self._update_impl()
+        return self._update_impl()
+
+    def _update_impl(self):
         start = time.perf_counter()
         dtype = self.dtype
         H = self.horizon_max

@@ -1,0 +1,700 @@
+"""
+Fused single-dispatch RSTP replan kernel.
+
+The host pipeline (path_optim.py + velocity_optim.py) runs two separate
+device solves with host glue between them — on a tunneled TPU each
+device→host pull costs a fixed ~25 ms round trip, so one replan tick pays
+twice.  This kernel fuses the ENTIRE replan graph into one XLA program:
+
+    lateral iLQR solve → cartesian bend → arc-length resample →
+    leader selection → velocity limits → jerk-limited rampify (scan) →
+    time constraints → velocity iLQR solve → stop masking
+
+Solver warm-start states, the previous path and the rampified reference
+profile are carried ON DEVICE between ticks; per tick the host uploads only
+small input arrays and pulls the final trajectory once.
+
+Corridor construction (evade decisions, corridor rampify) stays on host —
+it runs BEFORE the first solve, so it adds no extra round trip — and is
+shared with the host pipeline via :meth:`PathOptim.prepare`.
+
+Known (documented) divergences from the host pipeline:
+- resampling interpolates by cumulative arc length instead of the
+  reference's circle-marching (sub-centimeter difference at 0.5 m steps);
+- the solve runs in float32 with positions centered at the path start
+  (the host solve is float64 on numpy glue, float32 on device).
+
+(reference: library/tpl/planning/path_vel_decomp/path_optim.py:301-307,
+ velocity_optim.py:86-300)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpl_tpu.optim import problems
+from tpl_tpu.optim import ilqr
+from tpl_tpu.ops.interp import short_angle_dist
+
+
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# small device helpers
+
+
+def _onehot(idx, n):
+    """(...,) int32 -> (..., n) one-hot float."""
+    return (idx[..., None] == jnp.arange(n)).astype(F32)
+
+
+def _uniform_lerp(arr, q):
+    """arr (N, ...) sampled at fractional indices q (M,), clamped."""
+    n = arr.shape[0]
+    qc = jnp.clip(q, 0.0, n - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[:, None] - jnp.arange(n)))
+    return jnp.tensordot(w.astype(arr.dtype), arr, axes=1)
+
+
+def _uniform_box(arr, q):
+    """Zero-order-hold sampling of arr (N, ...) at indices q (M,)."""
+    n = arr.shape[0]
+    idx = jnp.clip(jnp.floor(q), 0, n - 1).astype(jnp.int32)
+    return jnp.tensordot(_onehot(idx, n).astype(arr.dtype), arr, axes=1)
+
+
+def _shift_solver_state(state, si, T):
+    """Warm-start shift on device (Solver.shift parity, optim.c:1162)."""
+    Hp1 = state.x.shape[0]
+    H = state.u.shape[0]
+    idx_x = jnp.minimum(jnp.arange(Hp1) + si, T)
+    idx_u = jnp.minimum(jnp.arange(H) + si, T - 1)
+    take = lambda a, i: jnp.tensordot(
+        _onehot(i, a.shape[0]).astype(a.dtype), a, axes=1)
+    return ilqr.SolverState(
+        x=take(state.x, idx_x), u=take(state.u, idx_u),
+        lam=take(state.lam, idx_u), mu_step=state.mu_step)
+
+
+def _project(points, n_pts, pos):
+    """Project pos (..., 2) onto an open polyline points (N, 2).
+
+    Only the first ``n_pts`` points are active (the tail may be a linear
+    extension).  Returns signed distance (positive = left), arc length,
+    in_bounds, tangent angle, nearest-vertex index.
+    (host parity: tpl_tpu/ops/geometry.py project)
+    """
+    seg_a, seg_b = points[:-1], points[1:]
+    v = seg_b - seg_a
+    vv = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12)
+    seg_len = jnp.sqrt(vv)
+    arc0 = jnp.concatenate([jnp.zeros(1, F32),
+                            jnp.cumsum(seg_len)])[:-1]
+    n_seg = seg_a.shape[0]
+    active = jnp.arange(n_seg) < (n_pts - 1)
+
+    pv = pos[..., None, :] - seg_a
+    q = jnp.sum(pv * v, axis=-1) / vv
+    qc = jnp.clip(q, 0.0, 1.0)
+    foot = seg_a + v * qc[..., None]
+    d2 = jnp.sum((pos[..., None, :] - foot) ** 2, axis=-1)
+    d2 = jnp.where(active, d2, jnp.inf)
+
+    best = jnp.argmin(d2, axis=-1)
+    take = lambda arr: jnp.take_along_axis(
+        jnp.broadcast_to(arr, d2.shape), best[..., None], axis=-1)[..., 0]
+
+    alpha = take(qc)
+    qs = take(q)
+    fx = jnp.take_along_axis(
+        jnp.broadcast_to(foot, d2.shape + (2,)),
+        best[..., None, None], axis=-2)[..., 0, :]
+    vx = jnp.take_along_axis(
+        jnp.broadcast_to(v, d2.shape + (2,)),
+        best[..., None, None], axis=-2)[..., 0, :]
+    cross = vx[..., 0] * (pos[..., 1] - fx[..., 1]) \
+        - vx[..., 1] * (pos[..., 0] - fx[..., 0])
+    dist = jnp.sqrt(jnp.maximum(take(d2), 0.0))
+    sdist = jnp.where(cross >= 0.0, dist, -dist)
+
+    arc = take(arc0) + alpha * take(seg_len)
+    angle = jnp.arctan2(vx[..., 1], vx[..., 0])
+    in_bounds = ~(((best == 0) & (qs < 0.0))
+                  | ((best == n_pts - 2) & (qs > 1.0)))
+    index = best + (alpha > 0.5).astype(best.dtype)
+    return dict(sdist=sdist, arc=arc, angle=angle, in_bounds=in_bounds,
+                index=index, alpha=alpha, start=best)
+
+
+def _extend_path(path, T):
+    """Replace rows >= T by a linear extension of the last active segment."""
+    H = path.shape[0]
+    i = jnp.arange(H)
+    oh_last = _onehot(jnp.asarray(T - 1, jnp.int32), H)
+    oh_prev = _onehot(jnp.asarray(jnp.maximum(T - 2, 0), jnp.int32), H)
+    last = jnp.tensordot(oh_last, path, axes=1)
+    prev = jnp.tensordot(oh_prev, path, axes=1)
+    d = last - prev
+    ext = last[None, :] + (i - (T - 1)).astype(F32)[:, None] * d[None, :]
+    # only xy extends linearly; the rest holds the last value
+    ext = ext.at[:, 2:].set(last[2:][None, :])
+    return jnp.where((i < T)[:, None], path, ext)
+
+
+def _resample_by_arc(bent, step, T):
+    """Arc-length resampling of the bent path to equidistant steps.
+
+    Emulates resample_path + interp_resampled_path (ops/geometry.py:192,
+    298): positions by chord-length interpolation, orientation by angle
+    lerp, curvature recomputed as 2 sin(dphi/2)/step, velocity lerped.
+    """
+    H = bent.shape[0]
+    bent = _extend_path(bent, T)
+    seg = jnp.sqrt(jnp.maximum(jnp.sum(
+        jnp.diff(bent[:, :2], axis=0) ** 2, axis=-1), 1e-12))
+    arc = jnp.concatenate([jnp.zeros(1, F32), jnp.cumsum(seg)])
+
+    s_t = jnp.arange(H, dtype=F32) * step
+    j = jnp.clip(jnp.sum((s_t[:, None] >= arc[None, :]).astype(jnp.int32),
+                         axis=-1) - 1, 0, H - 2)
+    oh0 = _onehot(j, H)
+    oh1 = _onehot(j + 1, H)
+    g0 = lambda a: jnp.tensordot(oh0, a, axes=1)
+    g1 = lambda a: jnp.tensordot(oh1, a, axes=1)
+
+    arc_j, arc_j1 = g0(arc), g1(arc)
+    alpha = jnp.clip((s_t - arc_j) / jnp.maximum(arc_j1 - arc_j, 1e-9),
+                     0.0, 1.0)
+
+    out = jnp.zeros((H, 6), F32)
+    p0, p1 = g0(bent), g1(bent)
+    out = out.at[:, :2].set(
+        p0[:, :2] + alpha[:, None] * (p1[:, :2] - p0[:, :2]))
+    phi = p0[:, 2] + alpha * short_angle_dist(p0[:, 2], p1[:, 2])
+    out = out.at[:, 2].set(phi)
+    out = out.at[:, 3].set(s_t)
+    out = out.at[:, 5].set(p0[:, 5] + alpha * (p1[:, 5] - p0[:, 5]))
+    dphi = short_angle_dist(phi[:-1], phi[1:])
+    k = 2.0 * jnp.sin(dphi / 2.0) / step
+    k = jnp.concatenate([k, k[-1:]])
+    # last active sample copies its predecessor (interp_resampled_path)
+    oh_prev = _onehot(jnp.asarray(jnp.maximum(T - 2, 0), jnp.int32), H)
+    k_prev = jnp.tensordot(oh_prev, k, axes=1)
+    i = jnp.arange(H)
+    k = jnp.where(i >= T - 1, k_prev, k)
+    out = out.at[:, 4].set(k)
+    return out
+
+
+def _rampify_scan(v0, a0, lim_v, T, a_min, a_max, j_min, j_max, v_min, step):
+    """Jerk/acc-limited profile, parity with ops/profile.py rampify_profile.
+
+    lim_v rows >= T are forced to lim_v[T-1]; with a constant tail the
+    backward recursion reaches index T-1 in exactly the host's start state.
+    """
+    H = lim_v.shape[0]
+    oh_last = _onehot(jnp.asarray(T - 1, jnp.int32), H)
+    lim_last = jnp.tensordot(oh_last, lim_v, axes=1)
+    lim = jnp.maximum(jnp.where(jnp.arange(H) < T, lim_v, lim_last),
+                      v_min).astype(F32)
+
+    # backward pass over t = H-1 .. 1
+    def bwd(carry, lim_pair):
+        cv, ca = carry
+        lim_t, lim_tm1 = lim_pair
+        out = (cv, ca)
+        lim_a = jnp.maximum(a_min, (cv - lim_tm1) / step * cv)
+        neg = lim_a < 0.0
+        ca2 = jnp.where(neg, jnp.maximum(ca + j_min / cv * step, lim_a), 0.0)
+        cv2 = jnp.where(neg, cv, lim_t)
+        cv2 = cv2 + jnp.minimum(-ca2 / cv2 * step, lim_tm1 - cv2)
+        return (cv2.astype(F32), ca2.astype(F32)), out
+
+    ts = jnp.arange(H - 1, 0, -1)
+    (cv, ca), outs = jax.lax.scan(
+        bwd, (lim[-1], jnp.zeros((), F32)),
+        (lim[ts], lim[ts - 1]))
+    prof_v = jnp.zeros(H, F32).at[ts].set(outs[0])
+    prof_a = jnp.zeros(H, F32).at[ts].set(outs[1])
+
+    # forward pass
+    cur_v = jnp.maximum(v0, v_min).astype(F32)
+    cur_a = jnp.asarray(a0, F32)
+    prof_v = prof_v.at[0].set(cur_v)
+    prof_a = prof_a.at[0].set(cur_a)
+    prof_v_next = jnp.concatenate([prof_v[1:], prof_v[-1:]])
+    has_next = jnp.arange(H) < H - 1
+
+    def fwd(carry, xs):
+        cv, ca, lim_a = carry
+        pv_t, pv_next, lim_t, hn = xs
+        lim_a = jnp.where(hn, jnp.minimum(a_max, (pv_next - cv) / step * cv),
+                          lim_a)
+        pos = lim_a > 0.0
+        ca2 = jnp.where(pos, jnp.minimum(ca + j_max / cv * step, lim_a), 0.0)
+        cv2 = jnp.where(pos, cv, pv_t)
+        next_v = cv2 + jnp.minimum(ca2 / cv2 * step, lim_t - cv2)
+        cv3 = jnp.minimum(pv_t, next_v)
+        return (cv3.astype(F32), ca2.astype(F32), lim_a.astype(F32)), \
+            (cv3.astype(F32), ca2.astype(F32))
+
+    (_, _, _), (out_v, out_a) = jax.lax.scan(
+        fwd, (cur_v, cur_a, jnp.zeros((), F32)),
+        (prof_v, prof_v_next, lim, has_next))
+    return jnp.stack([out_v, out_a], axis=-1)
+
+
+def _add_vel_constraint(lim_v, T, index, max_vel, length):
+    """Masked in-range clamp (map_module.py:560-570 parity)."""
+    i = jnp.arange(lim_v.shape[0])
+    lo = jnp.maximum(index, 0)
+    hi = jnp.minimum(index + length, T)
+    mask = (i >= lo) & (i < hi)
+    return jnp.where(mask, jnp.minimum(lim_v, max_vel), lim_v)
+
+
+# ---------------------------------------------------------------------------
+# fused step
+
+
+def make_fused_step(H, max_objs=16, max_hull=12, max_vcons=8, max_tcons=8):
+    """Build the jitted fused replan step for horizon capacity H.
+
+    Returns ``step(carry, inputs) -> (carry, outputs)``.  See
+    :class:`FusedRstpReplan` for the input/output contract.
+    """
+    lat_prob, _lat_spec = problems.lateral_profile(ref_capacity=H)
+    vel_prob, _vel_spec = problems.velocity_profile_space(ref_capacity=H)
+    lat_fn = ilqr.make_update_fn(lat_prob, H, integrator=ilqr.EULER,
+                                 dtype=F32, jit=False)
+    vel_fn = ilqr.make_update_fn(vel_prob, H, integrator=ilqr.EULER,
+                                 dtype=F32, jit=False)
+
+    def step(carry, inp):
+        T = inp["T"]
+        stepsz = inp["step"]
+
+        # ---- stage 1: lateral solve ------------------------------------
+        lat_state = carry["lat"]
+        reset_lat = inp["reset_lat"]
+        shifted = _shift_solver_state(lat_state, inp["si"], T)
+        lat_state = jax.tree.map(
+            lambda a, b: jnp.where(reset_lat, a, b),
+            ilqr.SolverState(
+                x=lat_state.x.at[0].set(inp["lat_x0"]),
+                u=jnp.zeros_like(lat_state.u),
+                lam=lat_state.lam,
+                mu_step=lat_state.mu_step),
+            shifted)
+
+        fixed = (jnp.arange(H) < inp["fix"])[:, None] & ~reset_lat
+        u_lim = jnp.where(fixed, 0.0, inp["max_d_dd"])
+        lat_cfg = dict(
+            u_min=-u_lim, u_max=u_lim,
+            barrier_weight=jnp.full((2,), 1000.0, F32),
+            lg_mult_limit=jnp.zeros((2,), F32),
+            dt=stepsz, T=T,
+            max_iterations=inp["lat_max_iterations"],
+            max_lg_iterations=jnp.asarray(1, jnp.int32),
+            min_rel_cost_change=jnp.asarray(1e-6, F32))
+        lat_params = dict(
+            k_ref=inp["path"][:, 4], d_offset=inp["d_trg"],
+            d_lower_constr=inp["d_lower_ref"],
+            d_upper_constr=inp["d_upper_ref"],
+            ref_step=inp["ref_step"],
+            w_d=inp["w_d"], w_v_d=inp["w_v_d"], w_a_d=inp["w_a_d"],
+            w_k=inp["w_k"])
+        lat_state, lat_info = lat_fn(lat_state, lat_state.x[0],
+                                     lat_params, lat_cfg)
+
+        # ---- stage 2: bend + resample (path_optim.py:301-307) ----------
+        path = inp["path"]
+        d = lat_state.x[:-1, 0]
+        dd = lat_state.x[:-1, 1]
+        bent = path.at[:, 0].add(-jnp.sin(path[:, 2]) * d) \
+                   .at[:, 1].add(jnp.cos(path[:, 2]) * d) \
+                   .at[:, 2].add(jnp.arctan(dd))
+        opt_path = _resample_by_arc(bent, stepsz, T)
+
+        vstep = inp["vel_step"]
+
+        # ---- stage 3: leader selection (velocity_optim.py:104-134) -----
+        veh_pos = inp["veh_pos"]
+        d_lat_assoc = inp["veh_width"] / 2.0 + inp["d_lat_leader_safe"]
+        veh_proj = _project(opt_path[:, :2], T, veh_pos)
+
+        obj_proj = _project(opt_path[:, :2], T, inp["obj_pos"])
+        hull_proj = _project(opt_path[:, :2], T,
+                             inp["obj_hull"].reshape(-1, 2))
+        h_sdist = hull_proj["sdist"].reshape(max_objs, max_hull)
+        h_arc = hull_proj["arc"].reshape(max_objs, max_hull)
+        h_inb = hull_proj["in_bounds"].reshape(max_objs, max_hull)
+
+        close = (jnp.abs(obj_proj["sdist"]) - inp["obj_hull_radius"]
+                 < d_lat_assoc)
+        all_inb = jnp.all(h_inb, axis=-1)
+        same_side = (jnp.all(h_sdist >= 0.0, axis=-1)
+                     | jnp.all(h_sdist < 0.0, axis=-1))
+        min_abs = jnp.min(jnp.abs(h_sdist), axis=-1)
+        side_ok = jnp.where(same_side, min_abs <= d_lat_assoc, True)
+        valid = inp["obj_mask"] & close & all_inb & side_ok
+
+        d_lon = jnp.min(h_arc, axis=-1)
+        score = jnp.where(valid, d_lon, 1e6)
+        best = jnp.argmin(score)
+        any_valid = jnp.any(valid)
+        s_leader = jnp.where(any_valid, score[best], 1e6)
+        oh_best = _onehot(best, max_objs)
+        v_raw = jnp.sum(oh_best * inp["obj_v"] * jnp.cos(
+            obj_proj["angle"] - inp["obj_yaw"]))
+        v_leader = jnp.where(any_valid, jnp.maximum(0.0, v_raw), 0.0)
+        s_leader = jnp.where(v_leader > 0.5,
+                             s_leader - veh_proj["arc"], s_leader)
+
+        # ---- stage 4: velocity limits (velocity_optim.py:166-186) ------
+        lim_v = opt_path[:, 5]
+        safety_dist = inp["veh_raf"] + inp["min_d_safe"]
+        ld_safety_dist = v_leader * inp["dt_safe"] + safety_dist
+        v_rel = jnp.minimum(4.0, v_leader / jnp.maximum(0.01, inp["veh_v"]))
+        dist_rel = s_leader / ld_safety_dist * v_rel
+        leader_idx = jnp.floor(
+            (s_leader - ld_safety_dist) / vstep).astype(jnp.int32)
+        lim_v = _add_vel_constraint(lim_v, T, leader_idx,
+                                    v_leader * dist_rel, 20)
+
+        vc1 = _project(opt_path[:, :2], T, inp["vcons_pos1"])
+        vc2 = _project(opt_path[:, :2], T, inp["vcons_pos2"])
+
+        def clamp_one(lv, c):
+            i1, i2, cv, m = c
+            return _add_vel_constraint(
+                lv, T, i1, jnp.where(m, cv, 1e9), i2 - i1), None
+
+        lim_v, _ = jax.lax.scan(
+            clamp_one, lim_v,
+            (vc1["index"].astype(jnp.int32), vc2["index"].astype(jnp.int32),
+             inp["vcons_v"], inp["vcons_mask"]))
+
+        # ---- stage 5: warm-start shift + rampify (vel_optim:157-208) ---
+        vel_state = carry["vel"]
+        prev_path = carry["prev_path"] + inp["prev_origin_delta"][None, :]
+        p0_proj = _project(prev_path, carry["prev_T"], opt_path[0, :2])
+        have_prev = carry["have_prev"]
+        shift_arc = jnp.where(have_prev, p0_proj["arc"], 0.0)
+        q = (jnp.arange(H, dtype=F32) * vstep + shift_arc) / vstep
+
+        x_shift = _uniform_lerp(vel_state.x[:-1], q)
+        x_new = vel_state.x.at[:-1].set(x_shift)
+        x_new = x_new.at[:, 1].add(-x_new[0, 1])
+        u_new = _uniform_box(vel_state.u, q)
+        lam_new = _uniform_lerp(vel_state.lam, q)
+
+        reset_vel = inp["reset_vel"]
+        x_new = jnp.where(
+            reset_vel,
+            x_new.at[0, 0].set(inp["veh_v"]).at[0, 1].set(inp["veh_a"]),
+            x_new)
+        vel_state = ilqr.SolverState(
+            x=x_new, u=u_new, lam=lam_new, mu_step=vel_state.mu_step)
+
+        v_ref = carry["v_ref"]
+        v_ref = jnp.where(reset_vel | ~have_prev,
+                          v_ref.at[0, 0].set(lim_v[0]).at[0, 1].set(0.0),
+                          _uniform_lerp(v_ref, q))
+        v_ref = _rampify_scan(
+            v_ref[0, 0], v_ref[0, 1], lim_v, T,
+            inp["a_min"], inp["a_max"], inp["j_min"], inp["j_max"],
+            inp["min_v_profile"], vstep)
+
+        # ---- stage 6: time constraints (velocity_optim.py:213-255) -----
+        ref_t_max = jnp.full(H, 10e10, F32)
+        ref_t_min = jnp.zeros(H, F32)
+        ref_t_offset = jnp.ones(H, F32)
+        ref_v_weight = jnp.ones(H, F32)
+
+        ep = _project(opt_path[:, :2], T, veh_pos)
+        oh_s = _onehot(ep["start"].astype(jnp.int32), H + 1)
+        oh_e = _onehot((ep["start"] + 1).astype(jnp.int32), H + 1)
+        t_at_veh = ((1.0 - ep["alpha"]) * jnp.sum(oh_s * x_new[:, 1])
+                    + ep["alpha"] * jnp.sum(oh_e * x_new[:, 1]))
+        time_at_traj_start = inp["t"] - t_at_veh
+
+        tc = _project(opt_path[:, :2], T, inp["tcons_pos"])
+        tc_idx = tc["index"].astype(jnp.int32)
+        ss = jnp.arange(H, dtype=F32) * vstep
+
+        def apply_tc(carrs, c):
+            r_t_min, r_t_max, r_t_off, r_v_w = carrs
+            idx, arc, t_min, t_max, m = c
+            ok = m & (idx < T - 1)
+            oh = _onehot(idx, H)
+            ohx = _onehot(idx, H + 1)
+            x_at = jnp.sum(ohx * x_new[:, 1])
+
+            ok_min = ok & (inp["t"] <= t_min)
+            r_t_min = jnp.where(
+                ok_min, (1 - oh) * r_t_min + oh * jnp.maximum(
+                    0.0, t_min - time_at_traj_start), r_t_min)
+            r_t_off = jnp.where(
+                ok_min, (1 - oh) * r_t_off
+                + oh * ((t_min - time_at_traj_start) - x_at), r_t_off)
+            rel_wp = arc - inp["time_constr_alpha"]
+            w = ((ss - rel_wp) * inp["time_constr_beta"]) ** 2
+            r_v_w = jnp.where(ok_min, jnp.minimum(r_v_w, w), r_v_w)
+
+            ok_max = ok & (inp["t"] <= t_max)
+            r_t_max = jnp.where(
+                ok_max, (1 - oh) * r_t_max + oh * jnp.maximum(
+                    0.0, t_max - time_at_traj_start), r_t_max)
+            return (r_t_min, r_t_max, r_t_off, r_v_w), None
+
+        (ref_t_min, ref_t_max, ref_t_offset, ref_v_weight), _ = jax.lax.scan(
+            apply_tc, (ref_t_min, ref_t_max, ref_t_offset, ref_v_weight),
+            (tc_idx, tc["arc"], inp["tcons_t_min"], inp["tcons_t_max"],
+             inp["tcons_mask"]))
+
+        # ---- stage 7: velocity solve -----------------------------------
+        vel_cfg = dict(
+            u_min=jnp.full((H, 1), 1.0, F32) * inp["a_min"],
+            u_max=jnp.full((H, 1), 1.0, F32) * inp["a_max"],
+            barrier_weight=jnp.full((5,), 1000.0, F32),
+            lg_mult_limit=jnp.full((5,), 0.1, F32),
+            dt=inp["vel_step"], T=T,
+            max_iterations=inp["vel_max_iterations"],
+            max_lg_iterations=jnp.asarray(1, jnp.int32),
+            min_rel_cost_change=jnp.asarray(1e-6, F32))
+        vel_params = dict(
+            p_v=inp["p_v"], p_a=inp["p_a"], max_a_total=inp["max_a_total"],
+            ref_v=v_ref[:, 0], ref_k=opt_path[:, 4],
+            ref_step=inp["vel_ref_step"],
+            ref_t_max=ref_t_max, ref_t_min=ref_t_min,
+            ref_t_offset=ref_t_offset, ref_v_weight=ref_v_weight)
+        vel_state, vel_info = vel_fn(vel_state, vel_state.x[0],
+                                     vel_params, vel_cfg)
+
+        # ---- stage 8: stop mask (velocity_optim.py:259-268) ------------
+        stop_mask = ((lim_v >= inp["min_v_profile"])
+                     & ((ref_t_min - vel_state.x[:-1, 1] <= 0.0)
+                        | (vel_state.x[:-1, 0]
+                           > inp["min_v_profile"] * 1.1)))
+        stop_mask = jnp.cumprod(stop_mask.astype(F32))
+        v_opt = vel_state.x[:-1, 0] * stop_mask
+
+        new_carry = dict(
+            lat=lat_state, vel=vel_state,
+            prev_path=opt_path[:, :2], prev_T=T,
+            v_ref=v_ref, have_prev=jnp.asarray(True))
+        outputs = dict(
+            opt_path=opt_path, v_opt=v_opt, v_lim=lim_v,
+            v_ref=v_ref, stop_mask=stop_mask,
+            time_prof=vel_state.x[:, 1], acc=vel_state.u[:, 0],
+            s_leader=s_leader, v_leader=v_leader,
+            lat_costs=lat_info["traj_costs"],
+            vel_costs=vel_info["traj_costs"])
+        return new_carry, outputs
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class FusedRstpReplan:
+    """Host wrapper: owns the device carry and builds kernel inputs.
+
+    Positions handed to :meth:`step` are centered at the current path
+    start (float32-safe); the wrapper tracks each tick's absolute origin
+    so the carried previous path can be re-centered exactly.
+    """
+
+    def __init__(self, horizon_max=256, max_objs=16, max_hull=12,
+                 max_vcons=8, max_tcons=8, device="cpu"):
+        self.H = horizon_max
+        self.max_objs = max_objs
+        self.max_hull = max_hull
+        self.max_vcons = max_vcons
+        self.max_tcons = max_tcons
+        self._step = make_fused_step(horizon_max, max_objs, max_hull,
+                                     max_vcons, max_tcons)
+        # single-instance iLQR at nx=2 over a ~250-step horizon is a
+        # latency-bound SERIAL workload: hundreds of dependent scan steps
+        # with tiny per-step math.  That shape runs fastest on the host
+        # CPU backend; the TPU earns its keep on the batched kernels
+        # (candidate sweeps, DP grids, batched MPC).  device="cpu" pins
+        # this kernel to the host; pass device=None to follow the default
+        # platform (e.g. for batched/vmapped use).
+        self._device = None
+        if device == "cpu":
+            try:
+                self._device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._device = None
+        self._carry = None
+        self._origin = np.zeros(2)
+        self.runtime = 0.0
+
+    def _init_carry(self):
+        H = self.H
+        z = jnp.zeros
+        return dict(
+            lat=ilqr.SolverState(x=z((H + 1, 2), F32), u=z((H, 1), F32),
+                                 lam=z((H, 2), F32),
+                                 mu_step=jnp.asarray(0, jnp.int32)),
+            vel=ilqr.SolverState(x=z((H + 1, 2), F32), u=z((H, 1), F32),
+                                 lam=z((H, 5), F32),
+                                 mu_step=jnp.asarray(0, jnp.int32)),
+            prev_path=z((H, 2), F32), prev_T=jnp.asarray(1, jnp.int32),
+            v_ref=z((H, 2), F32), have_prev=jnp.asarray(False))
+
+    def _pad(self, arr, shape):
+        out = np.zeros(shape, np.float32)
+        arr = np.asarray(arr, np.float64)
+        if arr.size:
+            sl = tuple(slice(0, min(a, b)) for a, b in zip(arr.shape, shape))
+            out[sl] = arr[sl]
+        return out
+
+    def step(self, prep, env, path_params, vel_params):
+        """One fused replan tick.
+
+        ``prep`` is the output of :meth:`PathOptim.prepare`.  Returns the
+        outputs dict with numpy arrays (one device pull).
+        """
+        if self._device is not None:
+            with jax.default_device(self._device):
+                return self._step_impl(prep, env, path_params, vel_params)
+        return self._step_impl(prep, env, path_params, vel_params)
+
+    def _step_impl(self, prep, env, path_params, vel_params):
+        import time as _time
+        t0 = _time.perf_counter()
+        H = self.H
+        if self._carry is None:
+            self._carry = self._init_carry()
+
+        veh = env.vehicle_state
+        path = np.asarray(prep["path"], np.float64)
+        T = int(prep["path_len"])
+        origin = path[0, :2].copy()
+        prev_origin_delta = self._origin - origin
+        self._origin = origin
+
+        cpath = self._pad(path - np.array([*origin, 0, 0, 0, 0]), (H, 6))
+        # hold the tail so lerp-based refs stay finite
+        if T < H:
+            cpath[T:] = cpath[T - 1]
+
+        # objects
+        objs = list(env.get_all_tracks())[:self.max_objs]
+        obj_pos = np.zeros((self.max_objs, 2), np.float32)
+        obj_hull = np.zeros((self.max_objs, self.max_hull, 2), np.float32)
+        obj_v = np.zeros(self.max_objs, np.float32)
+        obj_yaw = np.zeros(self.max_objs, np.float32)
+        obj_rad = np.zeros(self.max_objs, np.float32)
+        obj_mask = np.zeros(self.max_objs, bool)
+        for i, o in enumerate(objs):
+            obj_pos[i] = np.asarray(o.pos)[:2] - origin
+            hull = np.asarray(o.hull, np.float64)[:, :2] - origin
+            n = min(len(hull), self.max_hull)
+            obj_hull[i, :n] = hull[:n]
+            obj_hull[i, n:] = hull[min(n, len(hull)) - 1]
+            obj_v[i] = o.v
+            obj_yaw[i] = o.yaw
+            obj_rad[i] = o.hull_radius
+            obj_mask[i] = True
+
+        # maneuver constraints
+        vcons_pos1 = np.zeros((self.max_vcons, 2), np.float32)
+        vcons_pos2 = np.zeros((self.max_vcons, 2), np.float32)
+        vcons_v = np.zeros(self.max_vcons, np.float32)
+        vcons_mask = np.zeros(self.max_vcons, bool)
+        for i, (p1, p2, cv) in enumerate(
+                list(env.man_vel_cons)[:self.max_vcons]):
+            vcons_pos1[i] = np.asarray(p1)[:2] - origin
+            vcons_pos2[i] = np.asarray(p2)[:2] - origin
+            vcons_v[i] = cv
+            vcons_mask[i] = True
+
+        tcons_pos = np.zeros((self.max_tcons, 2), np.float32)
+        tcons_t_min = np.zeros(self.max_tcons, np.float32)
+        tcons_t_max = np.zeros(self.max_tcons, np.float32)
+        tcons_mask = np.zeros(self.max_tcons, bool)
+        for i, (pos, t_min, t_max) in enumerate(
+                list(env.man_time_cons)[:self.max_tcons]):
+            tcons_pos[i] = np.asarray(pos)[:2] - origin
+            tcons_t_min[i] = t_min
+            tcons_t_max[i] = t_max
+            tcons_mask[i] = True
+
+        cf = path_params.cost_func
+        vcf = vel_params.cost_func
+        inp = dict(
+            T=jnp.asarray(T, jnp.int32),
+            step=jnp.asarray(path_params.step, F32),
+            ref_step=jnp.asarray(env.local_map.step_size_ref, F32),
+            vel_step=jnp.asarray(vel_params.step, F32),
+            vel_ref_step=jnp.asarray(vel_params.ref_step, F32),
+            path=jnp.asarray(cpath),
+            d_lower_ref=jnp.asarray(self._pad(prep["d_lower_ref"], (H,))),
+            d_upper_ref=jnp.asarray(self._pad(prep["d_upper_ref"], (H,))),
+            d_trg=jnp.asarray(self._pad(prep["d_trg"], (H,))),
+            si=jnp.asarray(int(prep["si"]), jnp.int32),
+            fix=jnp.asarray(int(prep["fix"]), jnp.int32),
+            reset_lat=jnp.asarray(bool(prep["reset"])),
+            reset_vel=jnp.asarray(bool(prep["reset"])),
+            lat_x0=jnp.asarray(prep["x0"], F32),
+            max_d_dd=jnp.asarray(path_params.max_d_dd, F32),
+            lat_max_iterations=jnp.asarray(
+                getattr(path_params, "max_iterations", 5), jnp.int32),
+            vel_max_iterations=jnp.asarray(20, jnp.int32),
+            w_d=jnp.asarray(cf.w_d, F32), w_v_d=jnp.asarray(cf.w_v_d, F32),
+            w_a_d=jnp.asarray(cf.w_a_d, F32), w_k=jnp.asarray(cf.w_k, F32),
+            veh_pos=jnp.asarray(
+                np.array([veh.x, veh.y]) - origin, F32),
+            veh_v=jnp.asarray(veh.v, F32), veh_a=jnp.asarray(veh.a, F32),
+            veh_width=jnp.asarray(veh.width, F32),
+            veh_raf=jnp.asarray(veh.rear_axis_to_front, F32),
+            obj_pos=jnp.asarray(obj_pos), obj_hull=jnp.asarray(obj_hull),
+            obj_v=jnp.asarray(obj_v), obj_yaw=jnp.asarray(obj_yaw),
+            obj_hull_radius=jnp.asarray(obj_rad),
+            obj_mask=jnp.asarray(obj_mask),
+            vcons_pos1=jnp.asarray(vcons_pos1),
+            vcons_pos2=jnp.asarray(vcons_pos2),
+            vcons_v=jnp.asarray(vcons_v),
+            vcons_mask=jnp.asarray(vcons_mask),
+            tcons_pos=jnp.asarray(tcons_pos),
+            tcons_t_min=jnp.asarray(tcons_t_min),
+            tcons_t_max=jnp.asarray(tcons_t_max),
+            tcons_mask=jnp.asarray(tcons_mask),
+            t=jnp.asarray(env.t, F32),
+            d_lat_leader_safe=jnp.asarray(vel_params.d_lat_leader_safe, F32),
+            dt_safe=jnp.asarray(vel_params.dt_safe, F32),
+            min_d_safe=jnp.asarray(vel_params.min_d_safe, F32),
+            min_v_profile=jnp.asarray(vel_params.min_v_profile, F32),
+            a_min=jnp.asarray(vel_params.a_min, F32),
+            a_max=jnp.asarray(vel_params.a_max, F32),
+            j_min=jnp.asarray(vel_params.j_min, F32),
+            j_max=jnp.asarray(vel_params.j_max, F32),
+            time_constr_alpha=jnp.asarray(vel_params.time_constr_alpha, F32),
+            time_constr_beta=jnp.asarray(vel_params.time_constr_beta, F32),
+            p_v=jnp.asarray(vcf.p_v, F32), p_a=jnp.asarray(vcf.p_a, F32),
+            max_a_total=jnp.asarray(vel_params.max_a_total, F32),
+            prev_origin_delta=jnp.asarray(prev_origin_delta, F32),
+        )
+
+        self._carry, out = self._step(self._carry, inp)
+        # ONE device pull for the whole replan tick
+        host = jax.device_get(out)
+        opt_path = np.asarray(host["opt_path"], np.float64)[:T]
+        opt_path[:, 0] += origin[0]
+        opt_path[:, 1] += origin[1]
+        host["opt_path"] = opt_path
+        for k in ("v_opt", "v_lim", "stop_mask", "time_prof", "acc"):
+            host[k] = np.asarray(host[k], np.float64)
+        host["v_ref"] = np.asarray(host["v_ref"], np.float64)[:T]
+        host["v_opt"] = host["v_opt"][:T]
+        host["v_lim"] = host["v_lim"][:T]
+        host["T"] = T
+        self.runtime = (_time.perf_counter() - t0) * 1000.0
+        return host
+
+    def reset(self):
+        self._carry = None

@@ -103,7 +103,7 @@ class PathOptim:
 
     def __init__(self, horizon_max=250):
         prob, spec = problems.lateral_profile(ref_capacity=512)
-        self.opt = Solver(prob, spec, horizon_max=horizon_max)
+        self.opt = Solver(prob, spec, horizon_max=horizon_max, device="cpu")
         self.opt.lg_mult_limit = 0.0
         self.opt.barrier_weight[:] = 1000.0
 
@@ -115,8 +115,16 @@ class PathOptim:
         self.reset_required = False
         self.prev_time = -10000.0
 
-    @runtime
-    def update(self, env, params):
+    def prepare(self, env, params):
+        """Corridor construction shared by the host and fused pipelines.
+
+        Computes everything up to (but excluding) the solver-state
+        mutations: window, corridor bounds, evade decisions, rampified
+        reference profiles and warm-start intents.  Writes the final
+        reference arrays into ``opt.params`` (the next tick's fix-region
+        copy reads them back) and returns the solve inputs.
+        (reference: path_optim.py:119-299)
+        """
         local_map = env.local_map
         path_len = min(params.horizon, local_map.steps_ref)
         path = local_map.path[:path_len].copy()
@@ -128,8 +136,6 @@ class PathOptim:
         opt.horizon = path_len
         opt.step = params.step
         opt.params.ref_step = local_map.step_size_ref
-        opt.u_min[:] = -params.max_d_dd
-        opt.u_max[:] = params.max_d_dd
 
         opt.params.merge(vars(params.cost_func))
 
@@ -149,17 +155,9 @@ class PathOptim:
                       + veh.v * params.fix_seconds)
         fix = int(np.ceil(length_veh / local_map.step_size_ref))
 
-        if self.reset_required or not 0 <= si < path_len:
-            opt.x[0, 0] = proj_veh.distance
-            opt.x[0, 1] = 0.0
-            opt.u[:] = 0.0
-            opt.params.d_upper_constr = -d_upper_constr
-            opt.params.d_lower_constr = d_lower_constr
-        else:
-            opt.shift(si)
+        reset = bool(self.reset_required or not 0 <= si < path_len)
+        if not reset:
             # keep values fixed which the vehicle already traversed
-            opt.u_max[:fix] = 0.0
-            opt.u_min[:fix] = 0.0
             d_upper_constr[:fix] = -opt.params.d_upper_constr[si:si + fix]
             d_lower_constr[:fix] = opt.params.d_lower_constr[si:si + fix]
 
@@ -269,18 +267,41 @@ class PathOptim:
                        & (d_upper_ref > params.offset_center_line))
         d_trg[center_free] = params.offset_center_line
 
-        # solve
-
+        # final reference arrays; the next tick's fix-region copy reads
+        # these back from opt.params
         opt.params.k_ref = path[:, 4]
         opt.params.d_lower_constr = d_lower_ref
         opt.params.d_upper_constr = d_upper_ref
         opt.params.d_offset = d_trg
+
+        return dict(
+            path=path, path_len=path_len, proj_veh=proj_veh,
+            d_lower_ref=d_lower_ref, d_upper_ref=d_upper_ref, d_trg=d_trg,
+            si=si, fix=fix, reset=reset,
+            x0=np.array([proj_veh.distance, 0.0]))
+
+    @runtime
+    def update(self, env, params):
+        prep = self.prepare(env, params)
+
+        opt = self.opt
+        opt.u_min[:] = -params.max_d_dd
+        opt.u_max[:] = params.max_d_dd
+
+        if prep["reset"]:
+            opt.x[0, :] = prep["x0"]
+            opt.u[:] = 0.0
+        else:
+            opt.shift(prep["si"])
+            opt.u_max[:prep["fix"]] = 0.0
+            opt.u_min[:prep["fix"]] = 0.0
 
         opt.integrator_type = opt.EULER
         opt.update()
 
         # transform to cartesian and resample (path_optim.py:301-307)
 
+        path = prep["path"]
         path[:, 0] += -np.sin(path[:, 2]) * opt.x[:-1, 0]
         path[:, 1] += np.cos(path[:, 2]) * opt.x[:-1, 0]
         path[:, 2] += np.arctan(opt.x[:-1, 1])

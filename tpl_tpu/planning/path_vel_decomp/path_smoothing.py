@@ -26,7 +26,7 @@ class PathSmoothing:
 
     def __init__(self, horizon_max=250):
         prob, spec = problems.ref_line_smoother_k(ref_capacity=512)
-        self.opt = Solver(prob, spec, horizon_max=horizon_max)
+        self.opt = Solver(prob, spec, horizon_max=horizon_max, device="cpu")
         self.opt.lg_mult_limit = 0.1
         self.opt.barrier_weight[:] = 1000.0
 

@@ -30,6 +30,9 @@ class Params:
         # disables obstacle avoidance; only smooth the reference locally
         self.smooth_only = False
         self.write_debug_data = False
+        # single-dispatch device pipeline (fused_replan.py): one device
+        # round trip per replan instead of two
+        self.use_fused = True
 
         self.path_smoothing = PathSmoothingParams()
         self.path_optim = PathOptimParams()
@@ -45,6 +48,7 @@ class PathVelDecompPlanner(BasePlanner):
         self.path_smoothing = PathSmoothing()
         self.path_optim = PathOptim()
         self.velocity_optim = VelocityOptim()
+        self.fused = None  # built lazily on the first fused tick
 
         self.trajectory = Trajectory()
 
@@ -106,6 +110,9 @@ class PathVelDecompPlanner(BasePlanner):
                  + params.velocity_optim.min_d_safe)
                 / sh_env.local_map.step_size_ref)
 
+        if not params.smooth_only and params.use_fused:
+            return self._update_fused(env, params)
+
         if params.smooth_only:
             self.path_optim.reset_required = True
             self.path_smoothing.update(env, params.path_smoothing)
@@ -131,5 +138,46 @@ class PathVelDecompPlanner(BasePlanner):
         traj.curvature = opt_path[:, 4].copy()
         traj.velocity = self.velocity_optim.v_opt
         traj.acceleration = self.velocity_optim.opt.u[:, 0].copy()
+
+        return self.trajectory
+
+    def _update_fused(self, env, params):
+        """Single-dispatch replan through the fused device kernel."""
+        from tpl_tpu.planning.path_vel_decomp.fused_replan import (
+            FusedRstpReplan)
+
+        if self.fused is None:
+            self.fused = FusedRstpReplan(
+                horizon_max=max(256, params.horizon))
+
+        self.path_smoothing.reset_required = True
+        prep = self.path_optim.prepare(env, params.path_optim)
+        out = self.fused.step(prep, env, params.path_optim,
+                              params.velocity_optim)
+        T = out["T"]
+        opt_path = out["opt_path"]
+
+        # mirror host-pipeline bookkeeping so debug output and a later
+        # switch back to the host path stay consistent
+        self.path_optim.opt_path = opt_path
+        vo = self.velocity_optim
+        vo.s_leader = float(out["s_leader"])
+        vo.v_leader = float(out["v_leader"])
+        vo.v_lim = out["v_lim"]
+        vo.v_ref = out["v_ref"]
+        vo.v_opt = out["v_opt"]
+        vo.stop_mask = out["stop_mask"][:T]
+
+        self.write_debug_data(env, params)
+
+        traj = self.trajectory
+        traj.time = env.t + out["time_prof"][:T]
+        traj.s = np.arange(T) * params.velocity_optim.step
+        traj.x = opt_path[:, 0].copy()
+        traj.y = opt_path[:, 1].copy()
+        traj.orientation = opt_path[:, 2].copy()
+        traj.curvature = opt_path[:, 4].copy()
+        traj.velocity = out["v_opt"]
+        traj.acceleration = out["acc"][:T]
 
         return self.trajectory

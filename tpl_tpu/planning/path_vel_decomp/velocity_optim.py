@@ -65,7 +65,7 @@ class VelocityOptim:
 
     def __init__(self, horizon_max=250):
         prob, spec = problems.velocity_profile_space(ref_capacity=512)
-        self.opt = Solver(prob, spec, horizon_max=horizon_max)
+        self.opt = Solver(prob, spec, horizon_max=horizon_max, device="cpu")
         self.opt.max_iterations = 20
         self.opt.lg_mult_limit = 0.1
         self.opt.barrier_weight[:] = 1000.0
