@@ -112,7 +112,7 @@ def bench_idm_rollouts(candidates=1024, iters=10):
     return C * iters / dt
 
 
-def bench_rstp_replan(iters=100, warmup=25):
+def bench_rstp_replan(iters=150, warmup=40):
     """One real receding-horizon RSTP replan tick, measured through the
     actual planner: corridor construction on host, then the fused
     single-dispatch device kernel (lateral iLQR solve -> bend/resample ->
