@@ -79,3 +79,15 @@ def test_cv_3o_rstp_short():
 def test_full_scenario_rstp(scenario):
     ticks, runtimes = _run_scenario(scenario, "path_vel_decomp_planner")
     assert ticks > 1000
+
+
+@pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")
+@pytest.mark.parametrize("planner", [
+    "dp_lat_lon_planner",
+    "idm_sampling_planner",
+])
+def test_full_scenario_other_planners(planner):
+    """Full cv_3o with the DP grid planner and the IDM sampling planner:
+    finish the scene violation-free."""
+    ticks, runtimes = _run_scenario("acc_2024/cv_3o", planner)
+    assert ticks > 1000
