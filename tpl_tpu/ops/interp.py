@@ -11,6 +11,7 @@ All functions are written against the array-namespace, so they work for both
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -53,10 +54,15 @@ def _interp_indices(x0, dx, x, size, xp):
     return start, end, a
 
 
-# Gathers are slow on TPU inside scans; for moderate table sizes an
-# explicit hat-function / one-hot contraction maps to fused VPU ops
-# instead. Semantics are identical to the clamped-index lookups.
-_ONEHOT_MAX = 1024
+# Gathers are slow on TPU inside scans (single-instance AND batched: a
+# gather-based lerp measured 7x slower on the batched MPC than the
+# hat-function contraction); for moderate table sizes an explicit
+# hat-function / one-hot contraction maps to fused VPU ops instead.
+# Semantics are identical to the clamped-index lookups.  Set
+# TPL_TPU_ONEHOT_INTERP=0 to fall back to gathers (e.g. for profiling).
+import os
+
+_ONEHOT_MAX = 0 if os.environ.get("TPL_TPU_ONEHOT_INTERP") == "0" else 1024
 
 
 def _onehot_take(arr, idx):
@@ -65,6 +71,178 @@ def _onehot_take(arr, idx):
     iota = jnp.arange(c)
     onehot = (idx[..., None] == iota).astype(arr.dtype)
     return jnp.sum(onehot * arr, axis=-1)
+
+
+# The one-hot lookups carry custom analytic derivatives: autodiff through
+# the hat-weight construction materializes (batch, n)-wide tangent
+# intermediates per lookup and dominated the batched-solver profile
+# (multiply_reduce fusions).  The analytic piecewise-linear tangents are
+# exactly what the reference's symbolic codegen produces for lerp /
+# lerp_angle / boxInterp (optim.c:332-480): slope (v1 - v0) inside the
+# table, zero in the clamped regions, zero second derivative.
+
+
+def _is_zero(t):
+    return isinstance(t, jax.custom_derivatives.SymbolicZero)
+
+
+@jax.custom_jvp
+def _hat_lerp(q, arr):
+    """Clamped linear interpolation of `arr` at fractional index `q`."""
+    n = arr.shape[0]
+    qc = jnp.clip(q, 0.0, n - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[..., None] - jnp.arange(n)))
+    return jnp.sum(w * arr, axis=-1)
+
+
+def _hat_lerp_jvp(primals, tangents):
+    # genopt-parity slope: start=floor, end=ceil, both clamped
+    # (optim.c:346-355) — at exactly-on-grid queries start == end, so the
+    # lookup contributes ZERO derivative, exactly like the generated C.
+    q, arr = primals
+    dq, darr = tangents
+    n = arr.shape[0]
+    i0 = jnp.clip(jnp.floor(q), 0, n - 1).astype(jnp.int32)
+    i1 = jnp.clip(jnp.ceil(q), 0, n - 1).astype(jnp.int32)
+    a = jnp.clip(q - i0, 0.0, 1.0)
+    v0 = _onehot_take(arr, i0)
+    v1 = _onehot_take(arr, i1)
+    val = v0 + a * (v1 - v0)
+    dval = jnp.zeros_like(val)
+    if not _is_zero(dq):
+        dval = dval + (v1 - v0) * dq
+    if not _is_zero(darr):
+        dv0 = _onehot_take(darr, i0)
+        dv1 = _onehot_take(darr, i1)
+        dval = dval + dv0 + a * (dv1 - dv0)
+    return val, dval
+
+
+_hat_lerp.defjvp(_hat_lerp_jvp, symbolic_zeros=True)
+
+
+@jax.custom_jvp
+def _hat_lerp_angle(q, arr):
+    """Clamped short-angle interpolation at fractional index `q`."""
+    n = arr.shape[0]
+    qc = jnp.clip(q, 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(qc), 0, n - 1).astype(jnp.int32)
+    i1 = jnp.clip(jnp.ceil(qc), 0, n - 1).astype(jnp.int32)
+    a = jnp.clip(qc - i0, 0.0, 1.0)
+    v0 = _onehot_take(arr, i0)
+    v1 = _onehot_take(arr, i1)
+    return v0 + short_angle_dist(v0, v1) * a
+
+
+def _hat_lerp_angle_jvp(primals, tangents):
+    q, arr = primals
+    dq, darr = tangents
+    n = arr.shape[0]
+    qc = jnp.clip(q, 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(qc), 0, n - 1).astype(jnp.int32)
+    i1 = jnp.clip(jnp.ceil(qc), 0, n - 1).astype(jnp.int32)
+    a = jnp.clip(qc - i0, 0.0, 1.0)
+    v0 = _onehot_take(arr, i0)
+    v1 = _onehot_take(arr, i1)
+    sad = short_angle_dist(v0, v1)
+    val = v0 + sad * a
+    dval = jnp.zeros_like(val)
+    if not _is_zero(dq):
+        # genopt-parity: slope sad(v0, v1); zero on-grid since v0 == v1
+        dval = dval + sad * dq
+    if not _is_zero(darr):
+        dv0 = _onehot_take(darr, i0)
+        dv1 = _onehot_take(darr, i1)
+        dval = dval + dv0 + a * (dv1 - dv0)
+    return val, dval
+
+
+_hat_lerp_angle.defjvp(_hat_lerp_angle_jvp, symbolic_zeros=True)
+
+
+@jax.custom_jvp
+def _hat_box(q, arr):
+    """Clamped nearest-below lookup at fractional index `q`."""
+    n = arr.shape[0]
+    i = jnp.clip(jnp.floor(q), 0, n - 1).astype(jnp.int32)
+    return _onehot_take(arr, i)
+
+
+def _hat_box_jvp(primals, tangents):
+    q, arr = primals
+    dq, darr = tangents
+    n = arr.shape[0]
+    i = jnp.clip(jnp.floor(q), 0, n - 1).astype(jnp.int32)
+    val = _onehot_take(arr, i)
+    dval = jnp.zeros_like(val)
+    if not _is_zero(darr):
+        dval = _onehot_take(darr, i)
+    return val, dval
+
+
+_hat_box.defjvp(_hat_box_jvp, symbolic_zeros=True)
+
+
+def _onehot_rows(mat, idx):
+    """mat[idx, :] via one-hot contraction; mat (n, C), idx (...,)."""
+    n = mat.shape[0]
+    onehot = (idx[..., None] == jnp.arange(n)).astype(mat.dtype)
+    return jnp.tensordot(onehot, mat, axes=([-1], [0]))
+
+
+@jax.custom_jvp
+def _hat_lerp_multi(q, mat):
+    """Clamped linear interpolation of each column of `mat` at index `q`.
+
+    One hat-weight construction amortized over all C tables — the weight
+    build dominates when several lookups share the query (profiled on the
+    batched MPC), and the contraction maps to the MXU.
+    """
+    n = mat.shape[0]
+    qc = jnp.clip(q, 0.0, n - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(qc[..., None] - jnp.arange(n)))
+    return jnp.tensordot(w.astype(mat.dtype), mat, axes=([-1], [0]))
+
+
+def _hat_lerp_multi_jvp(primals, tangents):
+    # genopt-parity floor/ceil slope, see _hat_lerp_jvp
+    q, mat = primals
+    dq, dmat = tangents
+    n = mat.shape[0]
+    i0 = jnp.clip(jnp.floor(q), 0, n - 1).astype(jnp.int32)
+    i1 = jnp.clip(jnp.ceil(q), 0, n - 1).astype(jnp.int32)
+    a = jnp.clip(q - i0, 0.0, 1.0)[..., None]
+    v0 = _onehot_rows(mat, i0)
+    v1 = _onehot_rows(mat, i1)
+    val = v0 + a * (v1 - v0)
+    dval = jnp.zeros_like(val)
+    if not _is_zero(dq):
+        dval = dval + (v1 - v0) * dq[..., None]
+    if not _is_zero(dmat):
+        dv0 = _onehot_rows(dmat, i0)
+        dv1 = _onehot_rows(dmat, i1)
+        dval = dval + dv0 + a * (dv1 - dv0)
+    return val, dval
+
+
+_hat_lerp_multi.defjvp(_hat_lerp_multi_jvp, symbolic_zeros=True)
+
+
+def lerp_multi(x0, dx, x, mat):
+    """Linear interpolation into several tables sharing one query.
+
+    ``mat`` is (n, C) — C equally spaced tables stacked column-wise.
+    Returns shape (..., C).  Semantics per column identical to
+    :func:`lerp`.
+    """
+    xp = _xp(x, mat)
+    mat = xp.asarray(mat)
+    n = mat.shape[0]
+    if xp is jnp and n <= _ONEHOT_MAX:
+        return _hat_lerp_multi((jnp.asarray(x) - x0) / dx, mat)
+    start, end, a = _interp_indices(x0, dx, x, n, xp)
+    a = a[..., None] if xp.ndim(a) else a
+    return (1.0 - a) * mat[start] + a * mat[end]
 
 
 def lerp(x0, dx, x, arr):
@@ -77,10 +255,7 @@ def lerp(x0, dx, x, arr):
     arr = xp.asarray(arr)
     n = arr.shape[0]
     if xp is jnp and n <= _ONEHOT_MAX:
-        # hat-function weights reproduce clamped linear interpolation
-        q = jnp.clip((jnp.asarray(x) - x0) / dx, 0.0, n - 1.0)
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(q[..., None] - jnp.arange(n)))
-        return jnp.sum(w * arr, axis=-1)
+        return _hat_lerp((jnp.asarray(x) - x0) / dx, arr)
     start, end, a = _interp_indices(x0, dx, x, n, xp)
     return (1.0 - a) * arr[start] + a * arr[end]
 
@@ -90,11 +265,9 @@ def lerp_angle(x0, dx, x, arr):
     xp = _xp(x, arr)
     arr = xp.asarray(arr)
     n = arr.shape[0]
-    start, end, a = _interp_indices(x0, dx, x, n, xp)
     if xp is jnp and n <= _ONEHOT_MAX:
-        v0 = _onehot_take(arr, start)
-        v1 = _onehot_take(arr, end)
-        return v0 + short_angle_dist(v0, v1) * a
+        return _hat_lerp_angle((jnp.asarray(x) - x0) / dx, arr)
+    start, end, a = _interp_indices(x0, dx, x, n, xp)
     return arr[start] + short_angle_dist(arr[start], arr[end]) * a
 
 
@@ -102,9 +275,9 @@ def box_interp(dx, x, arr):
     """Nearest-below (piecewise constant) lookup. (optim.c:357-369)"""
     xp = _xp(x, arr)
     arr = xp.asarray(arr)
-    i = xp.clip(xp.floor(x / dx), 0, arr.shape[0] - 1).astype(int)
     if xp is jnp and arr.shape[0] <= _ONEHOT_MAX:
-        return _onehot_take(arr, i)
+        return _hat_box(jnp.asarray(x) / dx, arr)
+    i = xp.clip(xp.floor(x / dx), 0, arr.shape[0] - 1).astype(int)
     return arr[i]
 
 

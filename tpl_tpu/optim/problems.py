@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tpl_tpu.optim.ilqr import Problem
-from tpl_tpu.ops.interp import lerp, lerp_angle, box_interp
+from tpl_tpu.ops.interp import lerp, lerp_angle, box_interp, lerp_multi
 
 
 class ArraySpec:
@@ -37,17 +37,20 @@ def trajectory_tracking_mpc(ref_capacity=128):
     """
 
     def refs(p, s_r):
-        r_x = lerp(0.0, p["ref_step"], s_r, p["ref_x"])
-        r_y = lerp(0.0, p["ref_step"], s_r, p["ref_y"])
+        # one hat-weight build amortized over all linear tables (the
+        # weight construction dominates the batched-solver profile)
+        mat = jnp.stack([p["ref_x"], p["ref_y"], p["ref_k"], p["ref_v"]],
+                        axis=1)
+        vals = lerp_multi(0.0, p["ref_step"], s_r, mat)
         r_phi = lerp_angle(0.0, p["ref_step"], s_r, p["ref_phi"])
-        r_k = lerp(0.0, p["ref_step"], s_r, p["ref_k"])
-        return r_x, r_y, r_phi, r_k
+        return vals[..., 0], vals[..., 1], r_phi, vals[..., 2], vals[..., 3]
 
     def core(x, u, p):
         px, py, phi, delta, v, s_r, a = x
-        r_x, r_y, r_phi, r_k = refs(p, s_r)
-        v_trg = lerp(0.0, p["ref_step"], jax.lax.stop_gradient(s_r),
-                     p["ref_v"])
+        r_x, r_y, r_phi, r_k, r_v = refs(p, s_r)
+        # equivalent to lerp(..., stop_gradient(s_r), ref_v): the value is
+        # identical and the gradient through s_r is blocked either way
+        v_trg = jax.lax.stop_gradient(r_v)
         phi_dot = v / (p["l"] * (1 + (v / p["v_ch"]) ** 2)) * jnp.tan(delta)
         d_r = jnp.cos(r_phi) * (py - r_y) - jnp.sin(r_phi) * (px - r_x)
         s_dot = v * jnp.cos(phi - r_phi) / (1 - d_r * r_k)
@@ -111,11 +114,10 @@ def trajectory_tracking_mpc_time(ref_capacity=128):
     """
 
     def refs(p, rt):
-        r_x = lerp(0.0, p["ref_dt"], rt, p["ref_x"])
-        r_y = lerp(0.0, p["ref_dt"], rt, p["ref_y"])
+        mat = jnp.stack([p["ref_x"], p["ref_y"], p["ref_v"]], axis=1)
+        vals = lerp_multi(0.0, p["ref_dt"], rt, mat)
         r_phi = lerp_angle(0.0, p["ref_dt"], rt, p["ref_phi"])
-        v_trg = lerp(0.0, p["ref_dt"], rt, p["ref_v"])
-        return r_x, r_y, r_phi, v_trg
+        return vals[..., 0], vals[..., 1], r_phi, vals[..., 2]
 
     def dynamics(x, u, t, dt, p):
         px, py, phi, delta, v, a = x
@@ -182,11 +184,10 @@ def lateral_profile(ref_capacity=256):
     """
 
     def lookups(p, s):
-        k_r = lerp(0.0, p["ref_step"], s, p["k_ref"])
-        d_o = lerp(0.0, p["ref_step"], s, p["d_offset"])
-        d_lower = lerp(0.0, p["ref_step"], s, p["d_lower_constr"])
-        d_upper = lerp(0.0, p["ref_step"], s, p["d_upper_constr"])
-        return k_r, d_o, d_lower, d_upper
+        mat = jnp.stack([p["k_ref"], p["d_offset"], p["d_lower_constr"],
+                         p["d_upper_constr"]], axis=1)
+        vals = lerp_multi(0.0, p["ref_step"], s, mat)
+        return vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]
 
     def dynamics(x, u, t, dt, p):
         return jnp.stack([x[1], u[0]])
@@ -245,19 +246,21 @@ def velocity_profile_space(ref_capacity=256):
         v, st = x
         a = u[0]
         s = t * dt
-        v_trg = lerp(0.0, p["ref_step"], s, p["ref_v"])
-        v_weight = lerp(0.0, p["ref_step"], s, p["ref_v_weight"])
+        mat = jnp.stack([p["ref_v"], p["ref_v_weight"]], axis=1)
+        vals = lerp_multi(0.0, p["ref_step"], s, mat)
+        v_trg, v_weight = vals[..., 0], vals[..., 1]
         return p["p_v"] * (v_trg - v) ** 2 * v_weight + p["p_a"] * a ** 2
 
     def constraints(x, u, t, dt, p):
         v, st = x
         a = u[0]
         s = t * dt
-        v_trg = lerp(0.0, p["ref_step"], s, p["ref_v"])
+        mat = jnp.stack([p["ref_v"], p["ref_t_min"], p["ref_t_max"]],
+                        axis=1)
+        vals = lerp_multi(0.0, p["ref_step"], s, mat)
+        v_trg, t_min, t_max = vals[..., 0], vals[..., 1], vals[..., 2]
         kk = box_interp(p["ref_step"], s, p["ref_k"])
         t_offset = box_interp(p["ref_step"], s, p["ref_t_offset"])
-        t_min = lerp(0.0, p["ref_step"], s, p["ref_t_min"])
-        t_max = lerp(0.0, p["ref_step"], s, p["ref_t_max"])
 
         a_lat = v ** 2 * kk
         constr_a_max = (a ** 2 + a_lat ** 2) - p["max_a_total"] ** 2
