@@ -86,6 +86,25 @@ def _is_zero(t):
     return isinstance(t, jax.custom_derivatives.SymbolicZero)
 
 
+# Pallas kernel bodies cannot lower custom_jvp primitives registered with
+# symbolic_zeros; kernels only need the primal anyway.  Tracing a kernel
+# under `primal_only()` routes the lookups to the raw implementations.
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_PRIMAL_ONLY = _contextvars.ContextVar("tpl_tpu_interp_primal_only",
+                                       default=False)
+
+
+@_contextlib.contextmanager
+def primal_only():
+    tok = _PRIMAL_ONLY.set(True)
+    try:
+        yield
+    finally:
+        _PRIMAL_ONLY.reset(tok)
+
+
 @jax.custom_jvp
 def _hat_lerp(q, arr):
     """Clamped linear interpolation of `arr` at fractional index `q`."""
@@ -239,7 +258,8 @@ def lerp_multi(x0, dx, x, mat):
     mat = xp.asarray(mat)
     n = mat.shape[0]
     if xp is jnp and n <= _ONEHOT_MAX:
-        return _hat_lerp_multi((jnp.asarray(x) - x0) / dx, mat)
+        f = _hat_lerp_multi.fun if _PRIMAL_ONLY.get() else _hat_lerp_multi
+        return f((jnp.asarray(x) - x0) / dx, mat)
     start, end, a = _interp_indices(x0, dx, x, n, xp)
     a = a[..., None] if xp.ndim(a) else a
     return (1.0 - a) * mat[start] + a * mat[end]
@@ -255,7 +275,8 @@ def lerp(x0, dx, x, arr):
     arr = xp.asarray(arr)
     n = arr.shape[0]
     if xp is jnp and n <= _ONEHOT_MAX:
-        return _hat_lerp((jnp.asarray(x) - x0) / dx, arr)
+        f = _hat_lerp.fun if _PRIMAL_ONLY.get() else _hat_lerp
+        return f((jnp.asarray(x) - x0) / dx, arr)
     start, end, a = _interp_indices(x0, dx, x, n, xp)
     return (1.0 - a) * arr[start] + a * arr[end]
 
@@ -266,7 +287,8 @@ def lerp_angle(x0, dx, x, arr):
     arr = xp.asarray(arr)
     n = arr.shape[0]
     if xp is jnp and n <= _ONEHOT_MAX:
-        return _hat_lerp_angle((jnp.asarray(x) - x0) / dx, arr)
+        f = _hat_lerp_angle.fun if _PRIMAL_ONLY.get() else _hat_lerp_angle
+        return f((jnp.asarray(x) - x0) / dx, arr)
     start, end, a = _interp_indices(x0, dx, x, n, xp)
     return arr[start] + short_angle_dist(arr[start], arr[end]) * a
 
@@ -276,7 +298,8 @@ def box_interp(dx, x, arr):
     xp = _xp(x, arr)
     arr = xp.asarray(arr)
     if xp is jnp and arr.shape[0] <= _ONEHOT_MAX:
-        return _hat_box(jnp.asarray(x) / dx, arr)
+        f = _hat_box.fun if _PRIMAL_ONLY.get() else _hat_box
+        return f(jnp.asarray(x) / dx, arr)
     i = xp.clip(xp.floor(x / dx), 0, arr.shape[0] - 1).astype(int)
     return arr[i]
 
