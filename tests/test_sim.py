@@ -82,12 +82,21 @@ def test_full_scenario_rstp(scenario):
 
 
 @pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")
-@pytest.mark.parametrize("planner", [
-    "dp_lat_lon_planner",
-    "idm_sampling_planner",
+@pytest.mark.parametrize("scenario", [
+    "acc_2024/cv_3o",
+    "acc_2024/ot_2o",
+    "acc_2024/rb_3o",
 ])
-def test_full_scenario_other_planners(planner):
-    """Full cv_3o with the DP grid planner and the IDM sampling planner:
-    finish the scene violation-free."""
-    ticks, runtimes = _run_scenario("acc_2024/cv_3o", planner)
+def test_full_scenario_dp_lat_lon(scenario):
+    """Full scenario matrix with the DP grid planner (reference:
+    library/test/test_sim.py runs both planners over all 3 scenarios)."""
+    ticks, runtimes = _run_scenario(scenario, "dp_lat_lon_planner")
+    assert ticks > 1000
+
+
+@pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")
+def test_full_scenario_idm_sampling():
+    """Full cv_3o with the IDM sampling planner: finish the scene
+    violation-free."""
+    ticks, runtimes = _run_scenario("acc_2024/cv_3o", "idm_sampling_planner")
     assert ticks > 1000

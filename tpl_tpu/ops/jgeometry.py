@@ -23,7 +23,8 @@ def project_polyline(points, pos):
     v = seg_b - seg_a                         # (S, 2)
     vv = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12)
     seg_len = jnp.sqrt(vv)
-    arc0 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg_len)])[:-1]
+    arc0 = jnp.concatenate([jnp.zeros(1, seg_len.dtype),
+                            jnp.cumsum(seg_len)])[:-1]
 
     pv = pos[..., None, :] - seg_a            # (..., S, 2)
     q = jnp.sum(pv * v, axis=-1) / vv         # (..., S)

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def init_distributed(coordinator=None, num_processes=None, process_id=None):
@@ -60,7 +60,7 @@ def sharded_best_candidate(batched_solve, mesh, axis="dp"):
         fn = shard_map(local, mesh=mesh,
                        in_specs=in_specs,
                        out_specs=(P(axis), P(axis), P()),
-                       check_rep=False)
+                       check_vma=False)
         return jax.jit(fn)(*args)
 
     return wrapped

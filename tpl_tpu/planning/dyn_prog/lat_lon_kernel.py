@@ -143,7 +143,8 @@ def _dl_samples_backward(pp, n2):
     """Center-out dl sample values (lat_lon_planner.cu:202-236)."""
     step = (pp["dl_max"] - pp["dl_min"]) / (2 * n2)
     ks = jnp.arange(1, n2 + 1, dtype=jnp.float32)
-    return jnp.concatenate([jnp.zeros(1), step * ks, -step * ks])
+    return jnp.concatenate([jnp.zeros(1, jnp.float32), step * ks,
+                            -step * ks])
 
 
 def _d_fwd_sweep(D_at, n2):
@@ -495,7 +496,8 @@ def make_latlon_solver(spec):
             jnp.arange(NF, dtype=f32) / (NF - 1)
         step_dl = (pp["dl_max"] - pp["dl_min"]) / (NF - 1)
         ks = jnp.arange(1, n2 + 1, dtype=f32)
-        dl_s = jnp.concatenate([jnp.zeros(1), step_dl * ks, -step_dl * ks])
+        dl_s = jnp.concatenate([jnp.zeros(1, f32), step_dl * ks,
+                                -step_dl * ks])
 
         il2 = jnp.clip(jnp.round((l + dl_s * dt - pp["l_min"]) / l_step),
                        0, L - 1).astype(jnp.int32)
@@ -574,6 +576,16 @@ def make_latlon_solver(spec):
 
     @jax.jit
     def solve(dist_map_lon, ref_line, ref_step, pp, x0):
+        # the whole solve runs in f32; inputs may arrive as f64 under x64
+        def _f32(v):
+            v = jnp.asarray(v)
+            return v.astype(jnp.float32) if jnp.issubdtype(
+                v.dtype, jnp.floating) else v
+        pp = {k: _f32(v) for k, v in pp.items()}
+        dist_map_lon = _f32(dist_map_lon)
+        ref_line = _f32(ref_line)
+        ref_step = _f32(ref_step)
+        x0 = _f32(x0)
         dist_x = dist_map_lon[..., 0]
 
         # backward pass: slice T-1 (final), then T-2 .. 1
@@ -590,7 +602,7 @@ def make_latlon_solver(spec):
         nodes = jnp.concatenate([
             jnp.zeros((1, S, DS, L, 4), jnp.float32),
             nodes_mid,
-            nodes_final[None]], axis=0)
+            nodes_final[None]], axis=0).astype(jnp.float32)
 
         # forward pass
         def fwd(tp, i):

@@ -190,6 +190,16 @@ def make_edge_eval(n_int_steps, t_steps_env, s_steps_env, l_steps_env,
                    t_horizon, dir_dist, ref_line, ref_step, pp, env_pp):
         """start_pts: (Ns, 8); edge_starts: (E,) int32; end_specs: (E, 3)
         [t_end, ds_end, l_end]. Returns end_pts (E, 8) with cost."""
+        # the kernel runs in f32; host arrays may arrive as f64 under x64
+        def _f32(v):
+            v = jnp.asarray(v)
+            return v.astype(f32) if jnp.issubdtype(
+                v.dtype, jnp.floating) else v
+        start_pts, end_specs, t_horizon, dir_dist, ref_line, ref_step = (
+            _f32(start_pts), _f32(end_specs), _f32(t_horizon),
+            _f32(dir_dist), _f32(ref_line), _f32(ref_step))
+        pp = {k: _f32(v) for k, v in pp.items()}
+        env_pp = {k: _f32(v) for k, v in env_pp.items()}
         sp = start_pts[edge_starts]               # (E, 8)
         t0 = sp[:, PP_T]
         te = end_specs[:, 0]

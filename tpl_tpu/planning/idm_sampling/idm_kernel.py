@@ -495,6 +495,18 @@ def make_idm_kernel(spec):
         l_trgs: (C,), d_stops: (C,). Returns (ref_states (C,T,10),
         states (C,T,9), costs dict of (C,) arrays).
         """
+        # the kernel runs in f32; host arrays may arrive as f64 under x64
+        def _f32(v):
+            v = jnp.asarray(v)
+            return v.astype(f32) if jnp.issubdtype(
+                v.dtype, jnp.floating) else v
+        (init_ref, init_con, l_trgs, d_stops, dt_replan, ref_line,
+         ref_step, l_trg_global) = (
+            _f32(init_ref), _f32(init_con), _f32(l_trgs), _f32(d_stops),
+            _f32(dt_replan), _f32(ref_line), _f32(ref_step),
+            _f32(l_trg_global))
+        objs = jax.tree.map(_f32, objs)
+        pp = {k: _f32(v) for k, v in pp.items()}
         linestrip = ref_line[:, :2]
 
         def one(l_trg, d_stop):
