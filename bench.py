@@ -17,11 +17,31 @@ vs_baseline: rollouts/s against the 10k rollouts/s/chip target.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _probe_default_backend(timeout_s=180.0):
+    """Run a trivial computation on the default jax backend in a child
+    process.  Returns True if it completes; False if it crashes or hangs
+    (e.g. the TPU tunnel is down), without poisoning this process's jax
+    state — backend init is lazy, so the parent can still fall back to
+    JAX_PLATFORMS=cpu afterwards."""
+    code = ("import jax, jax.numpy as jnp;"
+            "jnp.ones((2, 2)).sum().block_until_ready();"
+            "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def bench_batched_mpc(batch=256, iters=20, horizon=60, max_iterations=8):
@@ -146,6 +166,13 @@ def bench_rstp_replan(iters=150, warmup=40):
 
 
 def main():
+    # If the default backend (the TPU tunnel) is dead or hung, fall back
+    # to CPU so the bench still reports a result instead of hanging.
+    tpu_unavailable = False
+    if "JAX_PLATFORMS" not in os.environ and not _probe_default_backend():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        tpu_unavailable = True
+
     platform = jax.devices()[0].platform
     rollouts_per_s = bench_idm_rollouts()
     solves_per_s = bench_batched_mpc(batch=2048, iters=5)
@@ -164,6 +191,8 @@ def main():
         "platform": platform,
         "device": str(jax.devices()[0]),
     }
+    if tpu_unavailable:
+        result["tpu_unavailable"] = True
     print(json.dumps(result))
 
 

@@ -1,0 +1,101 @@
+"""GUI server: live view + control surface over the app stores
+(reference: library/tpl/gui/ — imviz GUI attaching read/write to shm)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from tpl_tpu import util
+
+
+@pytest.fixture
+def sim_and_gui():
+    util.StoreRegistry.clear()
+    from tpl_tpu.simulation import SimStandalone
+    from tpl_tpu.gui import GuiServer
+
+    sim = SimStandalone(app_id="guitest", scenario_path="default")
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+
+    gui = GuiServer(
+        port=0,
+        env=sim.env_app.env,
+        sim_store=sim.core.sh_state,
+        planning_store=sim.planning_app.sh_planners,
+        control_store=sim.control_app.sh_controllers).start()
+    yield sim, gui
+    gui.stop()
+    util.StoreRegistry.clear()
+
+
+def _get(gui, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{gui.port}{path}", timeout=30) as r:
+        return r.status, r.read()
+
+
+def _post(gui, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{gui.port}{path}",
+        data=json.dumps(payload).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status
+
+
+def test_state_and_scene(sim_and_gui):
+    sim, gui = sim_and_gui
+    for _ in range(5):
+        sim.update()
+
+    status, body = _get(gui, "/state.json")
+    assert status == 200
+    state = json.loads(body)
+    assert state["t"] > 0.0
+    assert state["planning"]["active"] in state["planning"]["names"]
+    assert state["control"]["active"] in state["control"]["names"]
+    assert isinstance(state["violations"], list)
+
+    status, body = _get(gui, "/")
+    assert status == 200 and b"tpl-tpu" in body
+
+    status, png = _get(gui, "/scene.png")
+    assert status == 200
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_select_and_param_edit(sim_and_gui):
+    sim, gui = sim_and_gui
+    sim.update()
+
+    # switch the active controller through the GUI, like the reference's
+    # param selector (state_and_params.py:15-29)
+    assert _post(gui, "/select",
+                 {"controller": "const_acc_controller"}) == 200
+    with sim.control_app.sh_controllers.lock():
+        assert (sim.control_app.sh_controllers.active_controller
+                == "const_acc_controller")
+
+    # live param edit lands in the store the app reads each tick
+    params = json.loads(_get(gui, "/params.json")[1])
+    assert "path_vel_decomp_planner" in params["planning"]
+    assert _post(gui, "/param",
+                 {"target": "planning", "name": "path_vel_decomp_planner",
+                  "param": "horizon", "value": 120}) == 200
+    with sim.planning_app.sh_planners.lock():
+        assert (sim.planning_app.sh_planners
+                .path_vel_decomp_planner.params.horizon == 120)
+
+    # unknown param is rejected
+    with pytest.raises(urllib.error.HTTPError):
+        _post(gui, "/param",
+              {"target": "planning", "name": "path_vel_decomp_planner",
+               "param": "nope", "value": 1})
+
+    # sim run/pause toggle
+    assert _post(gui, "/sim", {"running": False}) == 200
+    with sim.core.sh_state.lock():
+        assert sim.core.sh_state.sim.settings.running is False

@@ -1,0 +1,329 @@
+"""
+tplgui: live observability + control surface over the shared stores.
+
+The reference ships an imviz/imdash GUI process that attaches read/write
+to the shm stores of the env/planning/control/sim apps (reference:
+library/tpl/gui/tplgui, library/tpl/gui/main.py:13-40,
+library/tpl/gui/state_and_params.py:15-80). This framework keeps the same
+architecture — a *separate process* that talks only to the stores — but
+serves the view over HTTP with the standard library instead of an OpenGL
+immediate-mode UI, so it works headless and over a tunnel:
+
+  GET  /            HTML live view (scene image + stats, auto-refresh)
+  GET  /state.json  live state: t, ego, planner/controller names +
+                    runtimes, rule violations, controls
+  GET  /scene.png   rendered scene (map, traffic, ego, planned traj)
+  GET  /params.json planner/controller param bundles (live values)
+  POST /select      {"planner": name} | {"controller": name}
+  POST /param       {"target": "planning"|"control", "name": <component>,
+                     "param": <key>, "value": <json value>}
+  POST /sim         {"running": bool} | {"use_real_time": bool}
+
+Param edits land in the same store attributes the apps read each tick
+(planning_app.py registry: ``sh_planners.<name>.params``), so live tuning
+behaves like the reference's param editor.
+"""
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+_PAGE = """<!doctype html>
+<html><head><title>tpl-tpu</title>
+<style>
+ body { font-family: sans-serif; background: #111; color: #eee;
+        display: flex; gap: 1.5em; padding: 1em; }
+ img  { border: 1px solid #444; }
+ td   { padding: 0 0.6em 0 0; }
+ select, button { margin: 0.2em 0; }
+</style></head>
+<body>
+<div><img id="scene" width="640" height="640"/></div>
+<div>
+ <h3>tpl-tpu live</h3>
+ <table id="stats"></table>
+ <p>planner <select id="planner"></select>
+    controller <select id="controller"></select></p>
+ <p><button onclick="setSim(true)">run</button>
+    <button onclick="setSim(false)">pause</button></p>
+ <pre id="viol"></pre>
+</div>
+<script>
+async function tick() {
+  const s = await (await fetch('state.json')).json();
+  const rows = [
+    ['t', s.t.toFixed(2) + ' s'],
+    ['ego v', s.ego.v.toFixed(2) + ' m/s'],
+    ['planner', s.planning.active + ' (' +
+      (1e3 * s.planning.runtime).toFixed(1) + ' ms)'],
+    ['controller', s.control.active + ' (' +
+      (1e3 * s.control.runtime).toFixed(1) + ' ms)'],
+    ['controls', s.control.controls.map(x => x.toFixed(2)).join(', ')],
+    ['violations', s.violations.length],
+  ];
+  document.getElementById('stats').innerHTML =
+    rows.map(r => '<tr><td>' + r[0] + '</td><td>' + r[1] +
+                  '</td></tr>').join('');
+  document.getElementById('viol').textContent =
+    s.violations.slice(0, 8).join('\\n');
+  for (const [id, names, active] of [
+      ['planner', s.planning.names, s.planning.active],
+      ['controller', s.control.names, s.control.active]]) {
+    const sel = document.getElementById(id);
+    if (sel.length != names.length) {
+      sel.innerHTML = names.map(n => '<option>' + n + '</option>').join('');
+      sel.onchange = () => fetch('select', {method: 'POST',
+        body: JSON.stringify({[id]: sel.value})});
+    }
+    if (document.activeElement !== sel) sel.value = active;
+  }
+  document.getElementById('scene').src = 'scene.png?' + Date.now();
+}
+function setSim(running) {
+  fetch('sim', {method: 'POST', body: JSON.stringify({running})});
+}
+setInterval(tick, 500); tick();
+</script>
+</body></html>
+"""
+
+
+def _to_jsonable(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_to_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_jsonable(x) for k, x in v.items()}
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    return str(v)
+
+
+class GuiServer:
+    """Serve a live view of (and control surface over) the app stores.
+
+    Pass store objects directly for in-process use (tests, standalone
+    sims), or let it attach by ``app_id`` over shared memory like the
+    reference GUI process does.
+    """
+
+    def __init__(self, app_id="", host="127.0.0.1", port=8023,
+                 env=None, sim_store=None, planning_store=None,
+                 control_store=None):
+        if env is None or sim_store is None:
+            import os
+            os.environ.setdefault("TPL_TPU_SHM", "1")
+        from tpl_tpu import util
+
+        if sim_store is None:
+            # SimCore appends "_" to non-empty app ids (core.py:36-40)
+            sim_id = app_id + "_" if app_id else app_id
+            sim_store = util.StoreRegistry.get(f"/{sim_id}tpl_sim")
+        if planning_store is None:
+            planning_store = util.StoreRegistry.get(
+                f"/{app_id}tpl_planning")
+        if control_store is None:
+            control_store = util.StoreRegistry.get(f"/{app_id}tpl_control")
+        if env is None:
+            from tpl_tpu.util.shm_store import ShmObject
+            from tpl_tpu.environment import EnvironmentState
+            env = ShmObject(EnvironmentState(), f"/{app_id}tpl_env")
+
+        self.env = env
+        self.sim_store = sim_store
+        self.planning_store = planning_store
+        self.control_store = control_store
+
+        gui = self
+
+        class Handler(BaseHTTPRequestHandler):
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                try:
+                    if path == "/":
+                        self._send(200, _PAGE.encode(), "text/html")
+                    elif path == "/state.json":
+                        self._send(200, json.dumps(
+                            gui.state_dict()).encode())
+                    elif path == "/params.json":
+                        self._send(200, json.dumps(
+                            gui.params_dict()).encode())
+                    elif path == "/scene.png":
+                        self._send(200, gui.scene_png(), "image/png")
+                    else:
+                        self._send(404, b"{}")
+                except Exception as e:
+                    self._send(500, json.dumps(
+                        {"error": repr(e)}).encode())
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    if self.path == "/select":
+                        gui.select(req)
+                    elif self.path == "/param":
+                        gui.set_param(req["target"], req["name"],
+                                      req["param"], req["value"])
+                    elif self.path == "/sim":
+                        gui.set_sim(req)
+                    else:
+                        self._send(404, b"{}")
+                        return
+                    self._send(200, b"{}")
+                except Exception as e:
+                    self._send(400, json.dumps(
+                        {"error": repr(e)}).encode())
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = None
+
+    # store access -------------------------------------------------
+
+    def _snapshot_sim(self):
+        self.sim_store.revalidate()
+        with self.sim_store.lock():
+            import copy
+            return copy.deepcopy(self.sim_store.sim)
+
+    def state_dict(self):
+        sim = self._snapshot_sim()
+        self.planning_store.revalidate()
+        with self.planning_store.lock():
+            planning = dict(
+                active=self.planning_store.active_planner,
+                names=list(self.planning_store.planner_names),
+                runtime=float(self.planning_store.runtime))
+        self.control_store.revalidate()
+        with self.control_store.lock():
+            control = dict(
+                active=self.control_store.active_controller,
+                names=list(self.control_store.controller_names),
+                runtime=float(self.control_store.runtime),
+                controls=[float(c) for c in self.control_store.controls])
+        return _to_jsonable(dict(
+            t=float(sim.t),
+            running=bool(sim.settings.running),
+            ego=dict(x=float(sim.ego.x), y=float(sim.ego.y),
+                     v=float(sim.ego.v), yaw=float(sim.ego.yaw)),
+            n_cars=len(sim.cars),
+            planning=planning,
+            control=control,
+            violations=[str(v) for v in sim.rule_checker.violations]))
+
+    def params_dict(self):
+        from tpl_tpu.util import get_obj_dict
+        out = {"planning": {}, "control": {}}
+        for key, store in (("planning", self.planning_store),
+                           ("control", self.control_store)):
+            store.revalidate()
+            with store.lock():
+                names = list(getattr(
+                    store, "planner_names" if key == "planning"
+                    else "controller_names"))
+                for n in names:
+                    comp = getattr(store, n, None)
+                    params = getattr(comp, "params", None)
+                    if params is not None:
+                        out[key][n] = _to_jsonable(get_obj_dict(params))
+        return out
+
+    def scene_png(self):
+        from tpl_tpu.simulation.renderer import render_scene
+        import matplotlib.pyplot as plt
+        sim = self._snapshot_sim()
+        self.env.revalidate()
+        self.planning_store.revalidate()
+        rgb = render_scene(self.env, sim, planners=self.planning_store)
+        buf = io.BytesIO()
+        plt.imsave(buf, rgb, format="png")
+        return buf.getvalue()
+
+    # mutations ----------------------------------------------------
+
+    def select(self, req):
+        if "planner" in req:
+            with self.planning_store.lock():
+                assert req["planner"] in self.planning_store.planner_names
+                self.planning_store.active_planner = req["planner"]
+        if "controller" in req:
+            with self.control_store.lock():
+                assert (req["controller"]
+                        in self.control_store.controller_names)
+                self.control_store.active_controller = req["controller"]
+
+    def set_param(self, target, name, param, value):
+        store = (self.planning_store if target == "planning"
+                 else self.control_store)
+        with store.lock():
+            comp = getattr(store, name)
+            params = comp.params
+            if not hasattr(params, param):
+                raise KeyError(f"{target}/{name} has no param {param!r}")
+            setattr(params, param, value)
+            # republish nested mutation through ShmStore (its attr dict
+            # holds the bundle by reference in-process; over shm the
+            # write-back on lock exit persists it)
+            setattr(store, name, comp)
+
+    def set_sim(self, req):
+        with self.sim_store.lock():
+            sim = self.sim_store.sim
+            if "running" in req:
+                sim.settings.running = bool(req["running"])
+            if "use_real_time" in req:
+                sim.settings.use_real_time = bool(req["use_real_time"])
+            self.sim_store.sim = sim
+
+    # lifecycle ----------------------------------------------------
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    def serve_forever(self):
+        print(f"tplgui serving on http://{self.httpd.server_address[0]}"
+              f":{self.port}/")
+        self.httpd.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(prog="tplgui")
+    p.add_argument("--app-id", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8023)
+    args = p.parse_args(argv)
+    GuiServer(app_id=args.app_id, host=args.host,
+              port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
