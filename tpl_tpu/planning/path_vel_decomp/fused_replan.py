@@ -40,6 +40,60 @@ from tpl_tpu.ops.interp import short_angle_dist
 F32 = jnp.float32
 
 
+# Per-tick scalar inputs travel as TWO packed vectors (one f32, one i32)
+# instead of ~40 individual leaves: every jitted-arg leaf costs a separate
+# host conversion + device_put per tick, which dominated the replan tick's
+# host time (and over a tunneled TPU each leaf is its own small transfer).
+_SCAL_F = (
+    "step", "ref_step", "vel_step", "vel_ref_step", "max_d_dd",
+    "w_d", "w_v_d", "w_a_d", "w_k",
+    "veh_v", "veh_a", "veh_width", "veh_raf", "t",
+    "d_lat_leader_safe", "dt_safe", "min_d_safe", "min_v_profile",
+    "a_min", "a_max", "j_min", "j_max",
+    "time_constr_alpha", "time_constr_beta", "p_v", "p_a", "max_a_total",
+)
+# trailing pairs appended after _SCAL_F in the packed f32 vector
+_VEC_F = ("veh_pos", "prev_origin_delta", "lat_x0")
+_SCAL_I = ("T", "si", "fix", "lat_max_iterations", "vel_max_iterations")
+_FLAG_I = ("reset_lat", "reset_vel")  # after _SCAL_I, as 0/1
+
+
+def _unpack_inputs(inp):
+    """Expand the packed input leaves back into named per-field entries."""
+    inp = dict(inp)
+    sf = inp.pop("scal_f")
+    sv = inp.pop("scal_i")
+    for i, k in enumerate(_SCAL_F):
+        inp[k] = sf[i]
+    off = len(_SCAL_F)
+    for i, k in enumerate(_VEC_F):
+        inp[k] = sf[off + 2 * i:off + 2 * i + 2]
+    for i, k in enumerate(_SCAL_I):
+        inp[k] = sv[i]
+    for i, k in enumerate(_FLAG_I):
+        inp[k] = sv[len(_SCAL_I) + i] != 0
+    corr = inp.pop("corr")
+    inp["d_lower_ref"] = corr[:, 0]
+    inp["d_upper_ref"] = corr[:, 1]
+    inp["d_trg"] = corr[:, 2]
+    oscal = inp.pop("obj_scal")
+    inp["obj_v"] = oscal[:, 0]
+    inp["obj_yaw"] = oscal[:, 1]
+    inp["obj_hull_radius"] = oscal[:, 2]
+    inp["obj_mask"] = oscal[:, 3] != 0
+    vc = inp.pop("vcons")
+    inp["vcons_pos1"] = vc[:, 0:2]
+    inp["vcons_pos2"] = vc[:, 2:4]
+    inp["vcons_v"] = vc[:, 4]
+    inp["vcons_mask"] = vc[:, 5] != 0
+    tc = inp.pop("tcons")
+    inp["tcons_pos"] = tc[:, 0:2]
+    inp["tcons_t_min"] = tc[:, 2]
+    inp["tcons_t_max"] = tc[:, 3]
+    inp["tcons_mask"] = tc[:, 4] != 0
+    return inp
+
+
 # ---------------------------------------------------------------------------
 # small device helpers
 
@@ -272,6 +326,7 @@ def make_fused_step(H, max_objs=16, max_hull=12, max_vcons=8, max_tcons=8):
                                  dtype=F32, jit=False)
 
     def step(carry, inp):
+        inp = _unpack_inputs(inp)
         T = inp["T"]
         stepsz = inp["step"]
 
@@ -485,13 +540,15 @@ def make_fused_step(H, max_objs=16, max_hull=12, max_vcons=8, max_tcons=8):
             lat=lat_state, vel=vel_state,
             prev_path=opt_path[:, :2], prev_T=T,
             v_ref=v_ref, have_prev=jnp.asarray(True))
-        outputs = dict(
-            opt_path=opt_path, v_opt=v_opt, v_lim=lim_v,
-            v_ref=v_ref, stop_mask=stop_mask,
-            time_prof=vel_state.x[:, 1], acc=vel_state.u[:, 0],
-            s_leader=s_leader, v_leader=v_leader,
-            lat_costs=lat_info["traj_costs"],
-            vel_costs=vel_info["traj_costs"])
+        # outputs packed into 4 leaves: fewer device→host conversions
+        prof = jnp.stack(
+            [v_opt, lim_v, stop_mask, vel_state.u[:, 0],
+             v_ref[:, 0], v_ref[:, 1]], axis=-1)
+        scals = jnp.stack(
+            [s_leader, v_leader,
+             lat_info["traj_costs"], vel_info["traj_costs"]])
+        outputs = dict(opt_path=opt_path, prof=prof,
+                       time_prof=vel_state.x[:, 1], scals=scals)
         return new_carry, outputs
 
     return jax.jit(step, donate_argnums=(0,))
@@ -626,73 +683,62 @@ class FusedRstpReplan:
 
         cf = path_params.cost_func
         vcf = vel_params.cost_func
-        inp = dict(
-            T=jnp.asarray(T, jnp.int32),
-            step=jnp.asarray(path_params.step, F32),
-            ref_step=jnp.asarray(env.local_map.step_size_ref, F32),
-            vel_step=jnp.asarray(vel_params.step, F32),
-            vel_ref_step=jnp.asarray(vel_params.ref_step, F32),
-            path=jnp.asarray(cpath),
-            d_lower_ref=jnp.asarray(self._pad(prep["d_lower_ref"], (H,))),
-            d_upper_ref=jnp.asarray(self._pad(prep["d_upper_ref"], (H,))),
-            d_trg=jnp.asarray(self._pad(prep["d_trg"], (H,))),
-            si=jnp.asarray(int(prep["si"]), jnp.int32),
-            fix=jnp.asarray(int(prep["fix"]), jnp.int32),
-            reset_lat=jnp.asarray(bool(prep["reset"])),
-            reset_vel=jnp.asarray(bool(prep["reset"])),
-            lat_x0=jnp.asarray(prep["x0"], F32),
-            max_d_dd=jnp.asarray(path_params.max_d_dd, F32),
-            lat_max_iterations=jnp.asarray(
-                getattr(path_params, "max_iterations", 5), jnp.int32),
-            vel_max_iterations=jnp.asarray(20, jnp.int32),
-            w_d=jnp.asarray(cf.w_d, F32), w_v_d=jnp.asarray(cf.w_v_d, F32),
-            w_a_d=jnp.asarray(cf.w_a_d, F32), w_k=jnp.asarray(cf.w_k, F32),
-            veh_pos=jnp.asarray(
-                np.array([veh.x, veh.y]) - origin, F32),
-            veh_v=jnp.asarray(veh.v, F32), veh_a=jnp.asarray(veh.a, F32),
-            veh_width=jnp.asarray(veh.width, F32),
-            veh_raf=jnp.asarray(veh.rear_axis_to_front, F32),
-            obj_pos=jnp.asarray(obj_pos), obj_hull=jnp.asarray(obj_hull),
-            obj_v=jnp.asarray(obj_v), obj_yaw=jnp.asarray(obj_yaw),
-            obj_hull_radius=jnp.asarray(obj_rad),
-            obj_mask=jnp.asarray(obj_mask),
-            vcons_pos1=jnp.asarray(vcons_pos1),
-            vcons_pos2=jnp.asarray(vcons_pos2),
-            vcons_v=jnp.asarray(vcons_v),
-            vcons_mask=jnp.asarray(vcons_mask),
-            tcons_pos=jnp.asarray(tcons_pos),
-            tcons_t_min=jnp.asarray(tcons_t_min),
-            tcons_t_max=jnp.asarray(tcons_t_max),
-            tcons_mask=jnp.asarray(tcons_mask),
-            t=jnp.asarray(env.t, F32),
-            d_lat_leader_safe=jnp.asarray(vel_params.d_lat_leader_safe, F32),
-            dt_safe=jnp.asarray(vel_params.dt_safe, F32),
-            min_d_safe=jnp.asarray(vel_params.min_d_safe, F32),
-            min_v_profile=jnp.asarray(vel_params.min_v_profile, F32),
-            a_min=jnp.asarray(vel_params.a_min, F32),
-            a_max=jnp.asarray(vel_params.a_max, F32),
-            j_min=jnp.asarray(vel_params.j_min, F32),
-            j_max=jnp.asarray(vel_params.j_max, F32),
-            time_constr_alpha=jnp.asarray(vel_params.time_constr_alpha, F32),
-            time_constr_beta=jnp.asarray(vel_params.time_constr_beta, F32),
-            p_v=jnp.asarray(vcf.p_v, F32), p_a=jnp.asarray(vcf.p_a, F32),
-            max_a_total=jnp.asarray(vel_params.max_a_total, F32),
-            prev_origin_delta=jnp.asarray(prev_origin_delta, F32),
-        )
+        x0 = np.asarray(prep["x0"], np.float64)
+        scal_f = np.array(
+            [path_params.step, env.local_map.step_size_ref,
+             vel_params.step, vel_params.ref_step, path_params.max_d_dd,
+             cf.w_d, cf.w_v_d, cf.w_a_d, cf.w_k,
+             veh.v, veh.a, veh.width, veh.rear_axis_to_front, env.t,
+             vel_params.d_lat_leader_safe, vel_params.dt_safe,
+             vel_params.min_d_safe, vel_params.min_v_profile,
+             vel_params.a_min, vel_params.a_max,
+             vel_params.j_min, vel_params.j_max,
+             vel_params.time_constr_alpha, vel_params.time_constr_beta,
+             vcf.p_v, vcf.p_a, vel_params.max_a_total,
+             # _VEC_F pairs: veh_pos, prev_origin_delta, lat_x0
+             veh.x - origin[0], veh.y - origin[1],
+             prev_origin_delta[0], prev_origin_delta[1],
+             x0[0], x0[1]], np.float32)
+        reset = 1 if prep["reset"] else 0
+        scal_i = np.array(
+            [T, int(prep["si"]), int(prep["fix"]),
+             int(getattr(path_params, "max_iterations", 5)), 20,
+             reset, reset], np.int32)
+        corr = np.stack(
+            [self._pad(prep["d_lower_ref"], (H,)),
+             self._pad(prep["d_upper_ref"], (H,)),
+             self._pad(prep["d_trg"], (H,))], axis=-1)
+        obj_scal = np.stack(
+            [obj_v, obj_yaw, obj_rad, obj_mask.astype(np.float32)], axis=-1)
+        vcons = np.concatenate(
+            [vcons_pos1, vcons_pos2, vcons_v[:, None],
+             vcons_mask.astype(np.float32)[:, None]], axis=-1)
+        tcons = np.concatenate(
+            [tcons_pos, tcons_t_min[:, None], tcons_t_max[:, None],
+             tcons_mask.astype(np.float32)[:, None]], axis=-1)
+
+        # 9 leaves total (vs ~45 unpacked): one device_put each per tick
+        inp = dict(scal_f=scal_f, scal_i=scal_i, path=cpath, corr=corr,
+                   obj_pos=obj_pos, obj_hull=obj_hull, obj_scal=obj_scal,
+                   vcons=vcons, tcons=tcons)
 
         self._carry, out = self._step(self._carry, inp)
-        # ONE device pull for the whole replan tick
-        host = jax.device_get(out)
-        opt_path = np.asarray(host["opt_path"], np.float64)[:T]
+        # ONE device pull for the whole replan tick (4 packed leaves)
+        pulled = jax.device_get(out)
+        opt_path = np.asarray(pulled["opt_path"], np.float64)[:T]
         opt_path[:, 0] += origin[0]
         opt_path[:, 1] += origin[1]
-        host["opt_path"] = opt_path
-        for k in ("v_opt", "v_lim", "stop_mask", "time_prof", "acc"):
-            host[k] = np.asarray(host[k], np.float64)
-        host["v_ref"] = np.asarray(host["v_ref"], np.float64)[:T]
-        host["v_opt"] = host["v_opt"][:T]
-        host["v_lim"] = host["v_lim"][:T]
-        host["T"] = T
+        prof = np.asarray(pulled["prof"], np.float64)
+        scals = np.asarray(pulled["scals"], np.float64)
+        host = dict(
+            opt_path=opt_path,
+            v_opt=prof[:T, 0], v_lim=prof[:T, 1],
+            stop_mask=prof[:, 2], acc=prof[:, 3],
+            v_ref=prof[:T, 4:6],
+            time_prof=np.asarray(pulled["time_prof"], np.float64),
+            s_leader=scals[0], v_leader=scals[1],
+            lat_costs=scals[2], vel_costs=scals[3],
+            T=T)
         self.runtime = (_time.perf_counter() - t0) * 1000.0
         return host
 
