@@ -133,3 +133,46 @@ def test_intersect_polygons():
     # containment
     d = np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]])
     assert intersect_polygons(a, d)
+
+
+def test_native_project_matches_numpy_core():
+    """The C kernel must agree with the numpy oracle field-for-field."""
+    from tpl_tpu import native
+    from tpl_tpu.ops import geometry as geom
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(7)
+    for closed in (False, True):
+        for trial in range(10):
+            n = rng.integers(3, 60)
+            pts = np.cumsum(rng.normal(0, 1.0, (n, 2)), axis=0)
+            pos = rng.normal(0, 5.0, (17, 2)) + pts.mean(axis=0)
+            res = native.project(pts, pos, closed)
+            assert res is not None
+
+            # numpy oracle path (bypass the native fast path)
+            import unittest.mock as mock
+            with mock.patch.object(native, "project",
+                                   lambda *a, **k: None):
+                ref = geom._project_core(pts, pos, closed)
+
+            np.testing.assert_array_equal(
+                res[:, 0].astype(np.int64), ref["start"])
+            np.testing.assert_array_equal(
+                res[:, 1].astype(np.int64), ref["end"])
+            np.testing.assert_allclose(res[:, 2], ref["alpha"], atol=1e-12)
+            np.testing.assert_array_equal(
+                res[:, 3].astype(np.int64), ref["index"])
+            np.testing.assert_allclose(res[:, 4:6], ref["point"], atol=1e-9)
+            np.testing.assert_allclose(
+                res[:, 6], ref["distance"], atol=1e-9)
+            np.testing.assert_allclose(
+                res[:, 7], ref["arc_len"], atol=1e-9)
+            np.testing.assert_allclose(res[:, 8], ref["angle"], atol=1e-9)
+            np.testing.assert_allclose(
+                res[:, 9:11], ref["tangent"], atol=1e-9)
+            np.testing.assert_array_equal(
+                res[:, 11] != 0.0, ref["in_bounds"])

@@ -17,7 +17,7 @@ from tpl_tpu.planning import Trajectory
 from tpl_tpu.environment import VehicleState
 from tpl_tpu.util import (
     get_subclasses_recursive, to_snake_case, StoreRegistry, Bundle,
-    project, short_angle_dist,
+    project, short_angle_dist, snapshot,
 )
 
 
@@ -99,8 +99,8 @@ class ControlApp:
         with self.sh_input.lock():
             con_input = ControlInput()
             con_input.t = self.sh_input.t
-            con_input.vehicle = copy.deepcopy(self.sh_input.vehicle)
-            con_input.trajectory = copy.deepcopy(self.sh_input.trajectory)
+            con_input.vehicle = snapshot(self.sh_input.vehicle)
+            con_input.trajectory = snapshot(self.sh_input.trajectory)
 
         if con_input.trajectory.emergency:
             controller = self.controllers["const_acc_controller"]
@@ -147,6 +147,6 @@ def save_control_params(sh_controllers):
     for cn in sh_controllers.controller_names:
         state = getattr(sh_controllers, cn, None)
         if state is not None and hasattr(state, "params"):
-            params[cn] = Bundle(params=copy.deepcopy(state.params))
+            params[cn] = Bundle(params=snapshot(state.params))
     abs_path = osp.join(util.PATH_PARAMS, "control", sh_controllers.storage)
     util.save_state_dict(params, abs_path)

@@ -12,6 +12,7 @@ from tpl_tpu import util
 from tpl_tpu.planning import BasePlanner, Trajectory
 from tpl_tpu.util import (
     get_subclasses_recursive, to_snake_case, StoreRegistry, Bundle,
+    snapshot,
 )
 
 
@@ -115,6 +116,6 @@ def save_planning_params(sh_planners):
     for pn in sh_planners.planner_names:
         state = getattr(sh_planners, pn, None)
         if state is not None and hasattr(state, "params"):
-            params[pn] = Bundle(params=copy.deepcopy(state.params))
+            params[pn] = Bundle(params=snapshot(state.params))
     abs_path = osp.join(util.PATH_PARAMS, "planning", sh_planners.storage)
     util.save_state_dict(params, abs_path)

@@ -9,6 +9,7 @@ from scipy.interpolate import interp1d
 
 from tpl_tpu.control.base_controller import BaseController
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.util import snapshot
 
 
 class Params:
@@ -48,7 +49,7 @@ class DirectController(BaseController):
             return (self.acc, self.steering_angle), self.con_traj
 
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
 
         t_clip = min(traj.time[-1],
                      max(traj.time[0], t + veh.dead_time_steer))

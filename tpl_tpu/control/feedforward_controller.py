@@ -13,6 +13,7 @@ from tpl_tpu import util
 from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
 from tpl_tpu.control.base_controller import BaseController
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.util import snapshot
 
 
 def sim_veh_model(x0, accs, steer_angles, wheel_base, v_ch, dt):
@@ -91,7 +92,7 @@ class FeedforwardController(BaseController):
             return (self.acc, self.steering_angle), self.con_traj
 
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
             self.shared.err_int_lon_s = self.err_int_lon_s
             self.shared.err_int_lon_v = self.err_int_lon_v
 

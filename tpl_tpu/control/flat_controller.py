@@ -11,6 +11,7 @@ from scipy.interpolate import interp1d
 
 from tpl_tpu.control.base_controller import BaseController
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.util import snapshot
 
 
 def sim_veh_model(x0, accs, steer_angles, wheel_base, dt):
@@ -72,7 +73,7 @@ class FlatController(BaseController):
             return (self.acc, self.steering_angle), self.con_traj
 
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
 
         # dead-time compensation
         x0 = np.array([veh.x, veh.y, veh.phi, veh.delta, veh.v])

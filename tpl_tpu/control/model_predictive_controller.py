@@ -18,6 +18,7 @@ from tpl_tpu.optim import problems
 from tpl_tpu.optim.solver import Solver
 from tpl_tpu.control.base_controller import BaseController
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.util import snapshot
 
 
 class IdleCompensationParams:
@@ -112,7 +113,7 @@ class ModelPredictiveController(BaseController):
                                         + delta_time * 0.05)
 
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
 
         if len(traj.time) < 2:
             return self.controls, self.con_traj

@@ -14,6 +14,7 @@ from tpl_tpu.optim import problems
 from tpl_tpu.optim.solver import Solver
 from tpl_tpu.control.base_controller import BaseController
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.util import snapshot
 
 
 class IdleCompensationParams:
@@ -106,7 +107,7 @@ class ModelPredictiveControllerTime(BaseController):
             self.ctrl_vars_history = []
 
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
 
         if traj is None or len(traj.time) < 2:
             return self.controls, self.con_traj

@@ -8,6 +8,7 @@ import numpy as np
 from tpl_tpu import util
 from tpl_tpu.ops import project, short_angle_dist
 from tpl_tpu.environment.vehicle_state import VehicleState
+from tpl_tpu.util import snapshot
 
 
 class EnvironmentState:
@@ -90,8 +91,8 @@ class EnvironmentState:
     def get_all_tracks(self):
         dyn_objs = []
         for v in util.get_obj_dict(self.tracks).values():
-            dyn_objs += copy.deepcopy(v)
-        dyn_objs += copy.deepcopy(self.cpms)
+            dyn_objs += snapshot(v)
+        dyn_objs += snapshot(self.cpms)
         return dyn_objs
 
 

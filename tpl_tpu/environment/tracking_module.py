@@ -15,6 +15,7 @@ from scipy.optimize import linear_sum_assignment
 from tpl_tpu import util
 from tpl_tpu.ops import project, intersect_polygons, convex_hull
 from tpl_tpu.environment.detections import DynamicObject
+from tpl_tpu.util import snapshot
 
 
 class Track:
@@ -179,8 +180,8 @@ class TrackingModule:
             tr.v_abs = v_abs
             tr.a_abs = a_abs
 
-            tr.hull_prev = copy.deepcopy(o.hull)
-            tr.hull = copy.deepcopy(o.hull)
+            tr.hull_prev = snapshot(o.hull)
+            tr.hull = snapshot(o.hull)
             tr.hull_radius = o.hull_radius
             tr.pos_prev = tr.state[:2].copy()
 
@@ -207,8 +208,8 @@ class TrackingModule:
             tr.t = o.t
             tr.state[:2] = o.pos
             tr.pos_prev = o.pos.copy()
-            tr.hull_prev = copy.deepcopy(o.hull)
-            tr.hull = copy.deepcopy(o.hull)
+            tr.hull_prev = snapshot(o.hull)
+            tr.hull = snapshot(o.hull)
             tr.hull_radius = o.hull_radius
             confirmed.append(tr)
         self.tracks += confirmed
@@ -220,8 +221,8 @@ class TrackingModule:
             tr.t = o.t
             tr.state[:2] = o.pos
             tr.pos_prev = o.pos.copy()
-            tr.hull_prev = copy.deepcopy(o.hull)
-            tr.hull = copy.deepcopy(o.hull)
+            tr.hull_prev = snapshot(o.hull)
+            tr.hull = snapshot(o.hull)
             tr.hull_radius = o.hull_radius
             tr.object_class = o.object_class
             # conservative existence for objects on intersecting maps
@@ -268,6 +269,6 @@ class TrackingModule:
             do.hull = tr.hull
             do.hull_radius = tr.hull_radius
             do.stationary = tr.stationary == 1.0
-            updated.append(copy.deepcopy(do))
+            updated.append(snapshot(do))
 
         env.tracks.internal = updated

@@ -20,10 +20,17 @@ _lib_lock = threading.Lock()
 _tried = False
 
 
+_CXX_FLAGS = ["-O3", "-march=native", "-ffp-contract=off",
+              "-shared", "-fPIC"]
+
+
 def _build_and_load():
     with open(_SRC, "rb") as f:
         src = f.read()
-    tag = hashlib.sha1(src).hexdigest()[:16]
+    # -ffp-contract=off keeps float op-for-op parity with the numpy
+    # oracle implementations (FMA contraction changes rounding, which
+    # flips argmin winners at exact geometric ties)
+    tag = hashlib.sha1(src + " ".join(_CXX_FLAGS).encode()).hexdigest()[:16]
     cache_dir = os.environ.get(
         "TPL_TPU_NATIVE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "tpl_tpu_native"))
@@ -32,8 +39,7 @@ def _build_and_load():
 
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", tmp, _SRC]
+        cmd = ["g++", *_CXX_FLAGS, "-o", tmp, _SRC]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
 
@@ -51,6 +57,12 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+
+    lib.tpl_project.restype = None
+    lib.tpl_project.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_double)]
 
     lib.tpl_rampify_corridor.restype = None
     lib.tpl_rampify_corridor.argtypes = [
@@ -97,6 +109,24 @@ def resample(points, sampling_dist, steps, start_index=0, closed=False):
     if res < 0:
         raise RuntimeError("resampling failed")
     return out[:res] if res < steps else out
+
+
+def project(points, positions, closed=False):
+    """Native twin of ops.geometry._project_core.
+
+    Returns an (M, 12) array with columns [start, end, alpha, index,
+    point_x, point_y, distance, arc_len, angle, tangent_x, tangent_y,
+    in_bounds], or None if the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points[:, :2], dtype=np.float64)
+    pos = np.ascontiguousarray(positions, dtype=np.float64).reshape(-1, 2)
+    out = np.zeros((len(pos), 12), dtype=np.float64)
+    lib.tpl_project(_ptr(pts), len(pts), _ptr(pos), len(pos),
+                    int(bool(closed)), _ptr(out))
+    return out
 
 
 def rampify_profile(v0, a0, lim_v, a_min, a_max, j_min, j_max, v_min, step):

@@ -235,4 +235,113 @@ void tpl_rampify_corridor(double step, int64_t horizon, double sharpness,
         out[i] = std::max(fwd[i], bwd[i]);
 }
 
+// Project m positions onto an n-vertex polyline.
+// Behavioral twin of ops/geometry.py _project_core (which mirrors
+// library/src/utils.cpp:257-404 in the reference).
+// out holds m * 12 doubles per row:
+//   [start, end, alpha, index, point_x, point_y, distance, arc_len,
+//    angle, tangent_x, tangent_y, in_bounds]
+void tpl_project(const double* pts, int64_t n,
+                 const double* pos, int64_t m,
+                 int32_t closed, double* out) {
+    if (n < 2 || m == 0) return;
+    const int64_t n_seg = closed ? n : n - 1;
+
+    // per-segment precompute shared across queries
+    std::vector<double> vx(n_seg), vy(n_seg), vv(n_seg), arc0(n_seg);
+    double acc = 0.0;
+    for (int64_t s = 0; s < n_seg; ++s) {
+        const int64_t a = s, b = closed ? (s + 1) % n : s + 1;
+        vx[s] = pts[2 * b] - pts[2 * a];
+        vy[s] = pts[2 * b + 1] - pts[2 * a + 1];
+        const double d2 = vx[s] * vx[s] + vy[s] * vy[s];
+        vv[s] = std::max(d2, 1e-300);
+        arc0[s] = acc;
+        acc += std::sqrt(d2);
+    }
+
+    for (int64_t i = 0; i < m; ++i) {
+        const double qx = pos[2 * i], qy = pos[2 * i + 1];
+        int64_t best = 0;
+        double best_d2 = 1e300, best_q = 0.0, best_qc = 0.0;
+        double best_fx = 0.0, best_fy = 0.0;
+        for (int64_t s = 0; s < n_seg; ++s) {
+            const int64_t a = s;
+            const double pvx = qx - pts[2 * a];
+            const double pvy = qy - pts[2 * a + 1];
+            const double q = (pvx * vx[s] + pvy * vy[s]) / vv[s];
+            const double qc = q < 0.0 ? 0.0 : (q > 1.0 ? 1.0 : q);
+            const double fx = pts[2 * a] + vx[s] * qc;
+            const double fy = pts[2 * a + 1] + vy[s] * qc;
+            const double dx = qx - fx, dy = qy - fy;
+            const double d2 = dx * dx + dy * dy;
+            if (d2 < best_d2) {
+                best_d2 = d2; best = s; best_q = q; best_qc = qc;
+                best_fx = fx; best_fy = fy;
+            }
+        }
+
+        bool in_bounds;
+        if (closed) {
+            in_bounds = !(best_q < 0.0 || best_q > 1.0);
+        } else {
+            in_bounds = !((best == 0 && best_q < 0.0)
+                          || (best == n_seg - 1 && best_q > 1.0));
+        }
+
+        const int64_t i_ref = best + 1;
+        int64_t idx_start, idx_end, idx_next;
+        if (closed) {
+            idx_start = ((i_ref - 1) % n + n) % n;
+            idx_end = i_ref % n;
+            idx_next = (i_ref + 1) % n;
+        } else {
+            idx_start = std::max<int64_t>(0, i_ref - 1);
+            idx_end = i_ref;
+            idx_next = std::min(n - 1, i_ref + 1);
+        }
+        const double alpha = best_qc;
+        const int64_t index = alpha < 0.5 ? idx_start : idx_end;
+
+        const double adx = best_fx - pts[2 * best];
+        const double ady = best_fy - pts[2 * best + 1];
+        const double arc_len = arc0[best] + std::sqrt(adx * adx + ady * ady);
+
+        // interpolated tangent (utils.cpp:376-390)
+        double svx = pts[2 * idx_end] - pts[2 * idx_start];
+        double svy = pts[2 * idx_end + 1] - pts[2 * idx_start + 1];
+        const double svn = std::max(std::sqrt(svx * svx + svy * svy), 1e-300);
+        svx /= svn; svy /= svn;
+        double tx = svx, ty = svy;
+        if (index < n - 2) {
+            double nvx = pts[2 * idx_next] - pts[2 * idx_end];
+            double nvy = pts[2 * idx_next + 1] - pts[2 * idx_end + 1];
+            const double nvn = std::max(std::sqrt(nvx * nvx + nvy * nvy),
+                                        1e-300);
+            nvx /= nvn; nvy /= nvn;
+            tx = alpha * nvx + (1.0 - alpha) * svx;
+            ty = alpha * nvy + (1.0 - alpha) * svy;
+        }
+        const double angle = std::atan2(ty, tx);
+
+        // signed distance, positive = left of path (utils.cpp:392-404)
+        double dist = std::sqrt(best_d2);
+        double ox = best_fx - qx, oy = best_fy - qy;
+        const double on = std::sqrt(ox * ox + oy * oy);
+        const double oinv = 1.0 / std::max(on, 1e-300);
+        ox *= oinv; oy *= oinv;
+        // ortho_rot = (-oy, ox); sign_neg when dot(seg_v, ortho_rot) <= 0
+        if (svx * -oy + svy * ox <= 0.0) dist = -dist;
+        if (on < 1e-12) dist = 0.0;
+
+        double* o = out + 12 * i;
+        o[0] = (double)idx_start; o[1] = (double)idx_end;
+        o[2] = alpha; o[3] = (double)index;
+        o[4] = best_fx; o[5] = best_fy;
+        o[6] = dist; o[7] = arc_len; o[8] = angle;
+        o[9] = tx; o[10] = ty;
+        o[11] = in_bounds ? 1.0 : 0.0;
+    }
+}
+
 }  // extern "C"

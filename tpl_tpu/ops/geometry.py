@@ -53,10 +53,28 @@ def _project_core(points, positions, closed):
     """Vectorized core: project M positions onto an N-vertex polyline.
 
     Returns dict of arrays with all Projection fields (leading dim M).
+    Routed through the native C kernel when available (the numpy path
+    below is the behavioral oracle and fallback).
     """
     points = np.asarray(points, dtype=np.float64)
     positions = np.atleast_2d(np.asarray(positions, dtype=np.float64))
     n = len(points)
+
+    if n >= 2:
+        from tpl_tpu import native
+        res = native.project(points, positions, closed)
+        if res is not None:
+            return dict(
+                start=res[:, 0].astype(np.int64),
+                end=res[:, 1].astype(np.int64),
+                alpha=res[:, 2],
+                index=res[:, 3].astype(np.int64),
+                point=res[:, 4:6],
+                distance=res[:, 6],
+                arc_len=res[:, 7],
+                angle=res[:, 8],
+                tangent=res[:, 9:11],
+                in_bounds=res[:, 11] != 0.0)
 
     if closed:
         seg_prev = points

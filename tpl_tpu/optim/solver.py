@@ -223,13 +223,50 @@ class Solver:
         return np.asarray(res, dtype=np.float64)
 
     def _get_update_fn(self):
+        """Jitted update with PACKED inputs.
+
+        Every jitted-arg leaf costs a host conversion + device_put per
+        call, so the per-tick inputs travel as few merged arrays: the
+        scalar params as one vector, array params stacked per capacity,
+        u limits as one (H, nu, 2) array, and the config scalars as one
+        f32 + one i32 vector.  The adapter unpacks them back into the
+        core's params/cfg dicts inside the traced program.
+        """
         key = self._integrator
-        fn = self._update_fns.get(key)
-        if fn is None:
-            fn = ilqr.make_update_fn(self.problem, self.horizon_max,
-                                     integrator=key, dtype=self.dtype)
-            self._update_fns[key] = fn
-        return fn
+        cached = self._update_fns.get(key)
+        if cached is not None:
+            return cached
+
+        raw = ilqr.make_update_fn(self.problem, self.horizon_max,
+                                  integrator=key, dtype=self.dtype,
+                                  jit=False)
+        spec = self.params._spec
+        scal_names = tuple(n for n, s in spec.items()
+                           if not hasattr(s, "capacity"))
+        by_cap = {}
+        for n, s in spec.items():
+            if hasattr(s, "capacity"):
+                by_cap.setdefault(s.capacity, []).append(n)
+        cap_groups = tuple((c, tuple(ns)) for c, ns in sorted(by_cap.items()))
+
+        def packed(state, u_lims, bw_lim, cfg_f, cfg_i, p_scal, *p_arrs):
+            params = {}
+            for (_, names), mat in zip(cap_groups, p_arrs):
+                for j, n in enumerate(names):
+                    params[n] = mat[:, j]
+            for j, n in enumerate(scal_names):
+                params[n] = p_scal[j]
+            cfg = dict(
+                u_min=u_lims[..., 0], u_max=u_lims[..., 1],
+                barrier_weight=bw_lim[:, 0], lg_mult_limit=bw_lim[:, 1],
+                dt=cfg_f[0], min_rel_cost_change=cfg_f[1],
+                T=cfg_i[0], max_iterations=cfg_i[1],
+                max_lg_iterations=cfg_i[2])
+            return raw(state, state.x[0], params, cfg)
+
+        entry = (jax.jit(packed), cap_groups, scal_names)
+        self._update_fns[key] = entry
+        return entry
 
     def update(self):
         if self._device is not None:
@@ -240,32 +277,36 @@ class Solver:
     def _update_impl(self):
         start = time.perf_counter()
         dtype = self.dtype
-        H = self.horizon_max
+        np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+
+        fn, cap_groups, scal_names = self._get_update_fn()
 
         state = ilqr.SolverState(
-            x=jnp.asarray(self._x, dtype),
-            u=jnp.asarray(self._u, dtype),
-            lam=jnp.asarray(self._lam, dtype),
-            mu_step=jnp.asarray(self._mu_step, jnp.int32))
+            x=self._x.astype(np_dtype),
+            u=self._u.astype(np_dtype),
+            lam=self._lam.astype(np_dtype),
+            mu_step=np.int32(self._mu_step))
 
-        cfg = dict(
-            u_min=jnp.asarray(np.nan_to_num(self._u_min, neginf=-1e30),
-                              dtype),
-            u_max=jnp.asarray(np.nan_to_num(self._u_max, posinf=1e30),
-                              dtype),
-            barrier_weight=jnp.asarray(self.barrier_weight, dtype),
-            lg_mult_limit=jnp.asarray(
-                np.nan_to_num(self._lg_mult_limit, posinf=1e30), dtype),
-            dt=jnp.asarray(self.step, dtype),
-            T=jnp.asarray(self.horizon, jnp.int32),
-            max_iterations=jnp.asarray(self.max_iterations, jnp.int32),
-            max_lg_iterations=jnp.asarray(self.max_lg_iterations, jnp.int32),
-            min_rel_cost_change=jnp.asarray(self.min_rel_cost_change, dtype),
-        )
+        u_lims = np.stack(
+            [np.nan_to_num(self._u_min, neginf=-1e30),
+             np.nan_to_num(self._u_max, posinf=1e30)],
+            axis=-1).astype(np_dtype)
+        bw_lim = np.stack(
+            [self.barrier_weight,
+             np.nan_to_num(self._lg_mult_limit, posinf=1e30)],
+            axis=-1).astype(np_dtype)
+        cfg_f = np.array([self.step, self.min_rel_cost_change], np_dtype)
+        cfg_i = np.array([self.horizon, self.max_iterations,
+                          self.max_lg_iterations], np.int32)
 
-        fn = self._get_update_fn()
-        new_state, info = fn(state, jnp.asarray(self._x[0], dtype),
-                             self.params.as_dict(dtype), cfg)
+        values = self.params._values
+        p_scal = np.array([values[n] for n in scal_names], np_dtype)
+        p_arrs = [np.stack([values[n] for n in names],
+                           axis=-1).astype(np_dtype)
+                  for _, names in cap_groups]
+
+        new_state, info = fn(state, u_lims, bw_lim, cfg_f, cfg_i,
+                             p_scal, *p_arrs)
 
         # one host round trip for all results (d2h latency dominates on
         # tunneled devices)

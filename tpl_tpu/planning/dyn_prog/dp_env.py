@@ -17,6 +17,7 @@ from tpl_tpu.ops import rampify_profile
 from tpl_tpu.planning.dyn_prog.dp_environment import (
     DpEnvironment, DpEnvParams, gen_prediction_quads,
 )
+from tpl_tpu.util import snapshot
 
 
 class Params:
@@ -77,7 +78,7 @@ class DpEnv:
                 self.dt_start = (self.dt_start - dt_update) % params.cpp.dt
             params.cpp.dt_start = self.dt_start
 
-            sh_params = copy.deepcopy(params)
+            sh_params = snapshot(params)
         return sh_params
 
     def update_reference_line(self, env, params):

@@ -28,6 +28,7 @@ from tpl_tpu.planning.dyn_prog.poly_planner_kernel import (
     PP_T, PP_S, PP_DS, PP_DDS, PP_L, PP_DL, PP_DDL, PP_COST,
 )
 from tpl_tpu.ops.splines import PolyQuintic
+from tpl_tpu.util import snapshot
 
 
 class Params:
@@ -70,7 +71,7 @@ class Behavior:
 class FollowBehavior(Behavior):
 
     def configure(self, params):
-        self.params = copy.deepcopy(params)
+        self.params = snapshot(params)
         self.params.dp_planner.w_l = 10.0
 
     def cost(self):
@@ -83,7 +84,7 @@ class FollowBehavior(Behavior):
 class EvasiveBehavior(Behavior):
 
     def configure(self, params):
-        self.params = copy.deepcopy(params)
+        self.params = snapshot(params)
         self.params.dp_planner.w_l = 0.1
 
     def cost(self):
@@ -168,7 +169,7 @@ class DpPolyPlanner(BasePlanner):
             params.dp_planner.length_veh = length_veh
             params.dp_planner.width_veh = veh.width
             params.dp_env.dilation = np.sqrt(2.0) * veh.width * 0.5
-            sh_params = copy.deepcopy(params)
+            sh_params = snapshot(params)
         return sh_params
 
     def update_reference_line(self, env, params):
@@ -372,11 +373,11 @@ class DpPolyPlanner(BasePlanner):
                 return self.trajectory
             env.t = sh_env.t
             env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
-            env.local_map = copy.deepcopy(sh_env.local_map)
-            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
-            env.selected_map = copy.deepcopy(sh_env.selected_map)
-            env.predicted = copy.deepcopy(sh_env.predicted)
+            env.vehicle_state = snapshot(sh_env.vehicle_state)
+            env.local_map = snapshot(sh_env.local_map)
+            env.local_map_behind = snapshot(sh_env.local_map_behind)
+            env.selected_map = snapshot(sh_env.selected_map)
+            env.predicted = snapshot(sh_env.predicted)
 
         params = self.update_params(env)
 

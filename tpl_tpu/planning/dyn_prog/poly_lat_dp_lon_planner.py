@@ -29,6 +29,7 @@ from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
     TC_T, TC_L, TC_DL, TC_DDL, TC_DDDL, TC_S, TC_V, TC_X, TC_Y, TC_H,
     TC_DIST, TC_K,
 )
+from tpl_tpu.util import snapshot
 
 
 class Params:
@@ -120,7 +121,7 @@ class PolyLatDpLonPlanner(BasePlanner):
                 self.dt_start = params.cpp_lon.dt
             params.cpp_lon.dt_start = self.dt_start
 
-            sh_params = copy.deepcopy(params)
+            sh_params = snapshot(params)
         return sh_params
 
     def _get_lon(self, cpp):
@@ -398,13 +399,13 @@ class PolyLatDpLonPlanner(BasePlanner):
         with sh_env.lock():
             env.t = sh_env.t
             env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
-            env.local_map = copy.deepcopy(sh_env.local_map)
-            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
-            env.selected_map = copy.deepcopy(sh_env.selected_map)
-            env.tracks = copy.deepcopy(sh_env.tracks)
-            env.predicted = copy.deepcopy(sh_env.predicted)
-            env.man_time_cons = copy.deepcopy(sh_env.man_time_cons)
+            env.vehicle_state = snapshot(sh_env.vehicle_state)
+            env.local_map = snapshot(sh_env.local_map)
+            env.local_map_behind = snapshot(sh_env.local_map_behind)
+            env.selected_map = snapshot(sh_env.selected_map)
+            env.tracks = snapshot(sh_env.tracks)
+            env.predicted = snapshot(sh_env.predicted)
+            env.man_time_cons = snapshot(sh_env.man_time_cons)
 
         params = self.update_params(env)
 

@@ -26,6 +26,7 @@ from tpl_tpu.planning.idm_sampling.idm_kernel import (
     R_T, R_X, R_Y, R_H, R_V, R_A, R_S, R_L, R_DR, R_DL,
     V_T, V_X, V_Y, V_H, V_ST, V_V, V_A, V_S, V_L,
 )
+from tpl_tpu.util import snapshot
 
 
 MAX_OBJS = 12
@@ -211,13 +212,13 @@ class IdmSamplingPlanner(BasePlanner):
 
             env.t = sh_env.t
             env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
-            env.local_map = copy.deepcopy(sh_env.local_map)
-            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
-            env.selected_map = copy.deepcopy(sh_env.selected_map)
-            env.tracks = copy.deepcopy(sh_env.tracks)
-            env.predicted = copy.deepcopy(sh_env.predicted)
-            env.man_time_cons = copy.deepcopy(sh_env.man_time_cons)
+            env.vehicle_state = snapshot(sh_env.vehicle_state)
+            env.local_map = snapshot(sh_env.local_map)
+            env.local_map_behind = snapshot(sh_env.local_map_behind)
+            env.selected_map = snapshot(sh_env.selected_map)
+            env.tracks = snapshot(sh_env.tracks)
+            env.predicted = snapshot(sh_env.predicted)
+            env.man_time_cons = snapshot(sh_env.man_time_cons)
 
             sh_env.local_map.update_inters_paths = True
             sh_env.local_map.step_shift_idx = 1
@@ -240,7 +241,7 @@ class IdmSamplingPlanner(BasePlanner):
             sh_params.cpp.dist_front_veh = veh.rear_axis_to_front
             sh_params.cpp.dist_back_veh = veh.rear_axis_to_rear
             util.merge_into(params, vars(sh_params))
-            params.cpp = copy.deepcopy(sh_params.cpp)
+            params.cpp = snapshot(sh_params.cpp)
 
         cmap = env.local_map
         if cmap is None:

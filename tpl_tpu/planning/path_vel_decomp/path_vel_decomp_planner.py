@@ -21,6 +21,7 @@ from tpl_tpu.planning.path_vel_decomp.path_optim import (
 from tpl_tpu.planning.path_vel_decomp.velocity_optim import (
     VelocityOptim, Params as VelocityOptimParams)
 from tpl_tpu.environment import EnvironmentState
+from tpl_tpu.util import snapshot
 
 
 class Params:
@@ -82,7 +83,7 @@ class PathVelDecompPlanner(BasePlanner):
     @runtime
     def update(self, sh_env):
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
 
         params.path_optim.horizon = params.horizon
         params.velocity_optim.horizon = params.horizon
@@ -95,13 +96,13 @@ class PathVelDecompPlanner(BasePlanner):
 
             env.t = sh_env.t
             env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = copy.deepcopy(sh_env.vehicle_state)
-            env.local_map = copy.deepcopy(sh_env.local_map)
-            env.local_map_behind = copy.deepcopy(sh_env.local_map_behind)
-            env.selected_map = copy.deepcopy(sh_env.selected_map)
-            env.tracks = copy.deepcopy(sh_env.tracks)
-            env.predicted = copy.deepcopy(sh_env.predicted)
-            env.man_time_cons = copy.deepcopy(sh_env.man_time_cons)
+            env.vehicle_state = snapshot(sh_env.vehicle_state)
+            env.local_map = snapshot(sh_env.local_map)
+            env.local_map_behind = snapshot(sh_env.local_map_behind)
+            env.selected_map = snapshot(sh_env.selected_map)
+            env.tracks = snapshot(sh_env.tracks)
+            env.predicted = snapshot(sh_env.predicted)
+            env.man_time_cons = snapshot(sh_env.man_time_cons)
 
             sh_env.local_map.update_inters_paths = True
             sh_env.local_map.step_shift_idx = 1

@@ -23,6 +23,7 @@ from tpl_tpu.ops.splines import PolyQuintic, PolyQuartic
 from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.util import snapshot
 
 
 class PolySamplingParams:
@@ -209,12 +210,12 @@ class PolySamplingPlanner(BasePlanner):
             if sh_env.local_map is None:
                 return self.trajectory
             env_t = sh_env.t
-            veh = copy.deepcopy(sh_env.vehicle_state)
-            cmap = copy.deepcopy(sh_env.local_map)
+            veh = snapshot(sh_env.vehicle_state)
+            cmap = snapshot(sh_env.local_map)
             tracks = sh_env.get_all_tracks()
 
         with self.lock_shared():
-            params = copy.deepcopy(self.shared.params)
+            params = snapshot(self.shared.params)
         pp = params.poly_params
 
         if self.last_time == env_t:

@@ -18,6 +18,7 @@ from tpl_tpu.simulation.state import (
 from tpl_tpu.application.environment_app import load_env_params
 from tpl_tpu.application.planning_app import load_planning_params
 from tpl_tpu.application.control_app import load_control_params
+from tpl_tpu.util import snapshot
 
 
 class SimCore:
@@ -252,7 +253,7 @@ class SimCore:
                 if sc.noise_yaw else 0.0
             noise_v = np.random.normal(0.0, sc.noise_v) if sc.noise_v else 0.0
 
-            sc = copy.deepcopy(sc)
+            sc = snapshot(sc)
             sc.x += noise_x
             sc.y += noise_y
             sc.yaw += noise_yaw
@@ -272,7 +273,7 @@ class SimCore:
             obj.hull_radius = np.max(np.linalg.norm(
                 obj.hull - obj.pos[None, :], axis=1))
 
-            obj = copy.deepcopy(obj)
+            obj = snapshot(obj)
             obj.yaw = None
             obj.v = None
             env.ir_pc_dets.append(obj)
@@ -366,7 +367,7 @@ class SimCore:
             if sh_sim.settings.reload_requested:
                 self.reload_scenario(self.sh_state.storage, env, planning,
                                      control)
-            sim = copy.deepcopy(self.sh_state.sim)
+            sim = snapshot(self.sh_state.sim)
             sim.manager = self.manager
             sh_sim.settings.single_step_requested = False
 
@@ -422,7 +423,7 @@ class SimCore:
 
     def write_sim_state(self, sim):
         with self.sh_state.lock():
-            new_settings = copy.deepcopy(self.sh_state.sim.settings)
+            new_settings = snapshot(self.sh_state.sim.settings)
             if (sim.settings.running
                     or sim.settings.single_step_requested):
                 sim_copy = copy.copy(sim)

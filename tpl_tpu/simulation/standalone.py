@@ -8,6 +8,7 @@ import copy
 
 from tpl_tpu.application import EnvironmentApp, PlanningApp, ControlApp
 from tpl_tpu.simulation.core import SimCore
+from tpl_tpu.util import snapshot
 
 
 class SimStandalone:
@@ -46,12 +47,12 @@ class SimStandalone:
 
         with self.env_app.env.lock():
             self.env_app.update(sim.t)
-            veh = copy.deepcopy(self.env_app.env.vehicle_state)
+            veh = snapshot(self.env_app.env.vehicle_state)
 
         self.planning_app.update()
 
         with self.planning_app.sh_planners.lock():
-            traj = copy.deepcopy(self.planning_app.sh_planners.trajectory)
+            traj = snapshot(self.planning_app.sh_planners.trajectory)
 
         with self.control_app.sh_input.lock():
             self.control_app.sh_input.t = sim.t
@@ -61,7 +62,7 @@ class SimStandalone:
         self.control_app.update()
 
         with self.control_app.sh_controllers.lock():
-            controls = copy.deepcopy(self.control_app.sh_controllers.controls)
+            controls = snapshot(self.control_app.sh_controllers.controls)
 
         with self.core.sh_state.lock():
             sim = self.core.sh_state.sim

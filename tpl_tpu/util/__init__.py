@@ -38,6 +38,58 @@ from tpl_tpu.ops import (        # noqa: F401  (re-exports, util.py:12-22)
 TO_SNAKE_CASE = re.compile(r'(?<!^)(?=[A-Z])')
 
 
+_SNAP_ATOMS = (type(None), bool, int, float, complex, str, bytes,
+               np.generic, type, type(len))
+
+
+def snapshot(obj, _memo=None):
+    """Fast deep copy for plain data graphs (the per-tick env snapshots).
+
+    Semantically equivalent to ``copy.deepcopy`` for the object graphs the
+    stores hold (numpy arrays, lists/dicts/tuples, plain data classes) but
+    several times faster: arrays copy via ``ndarray.copy`` and plain
+    objects rebuild via ``__new__`` + recursive ``__dict__`` copy, skipping
+    the generic reduce protocol. Falls back to ``copy.deepcopy`` for
+    anything exotic (custom ``__deepcopy__``, slots, extension types).
+    """
+    if isinstance(obj, _SNAP_ATOMS):
+        return obj
+    if isinstance(obj, np.ndarray):
+        return obj.copy()
+    if _memo is None:
+        _memo = {}
+    oid = id(obj)
+    hit = _memo.get(oid)
+    if hit is not None:
+        return hit[1]
+    cls = obj.__class__
+    if cls is list:
+        out = []
+        _memo[oid] = (obj, out)
+        out.extend(snapshot(v, _memo) for v in obj)
+        return out
+    if cls is dict:
+        out = {}
+        _memo[oid] = (obj, out)
+        for k, v in obj.items():
+            out[k] = snapshot(v, _memo)
+        return out
+    if cls is tuple:
+        return tuple(snapshot(v, _memo) for v in obj)
+    if cls in (set, frozenset):
+        return cls(snapshot(v, _memo) for v in obj)
+    d = getattr(obj, "__dict__", None)
+    if (d is not None and not hasattr(obj, "__deepcopy__")
+            and not hasattr(cls, "__slots__")):
+        out = cls.__new__(cls)
+        _memo[oid] = (obj, out)
+        od = out.__dict__
+        for k, v in d.items():
+            od[k] = snapshot(v, _memo)
+        return out
+    return copy.deepcopy(obj)
+
+
 def to_snake_case(name):
     return TO_SNAKE_CASE.sub('_', name).lower()
 

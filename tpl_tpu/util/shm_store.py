@@ -17,6 +17,7 @@ import pickle
 import struct
 import fcntl
 import threading
+from tpl_tpu.util import snapshot
 
 _HEADER = struct.Struct("<QQ")  # version, payload length
 
@@ -117,7 +118,7 @@ class ShmStore:
         import copy
         from tpl_tpu.util import Bundle
         with self.lock():
-            return copy.deepcopy(Bundle(**self._attrs))
+            return snapshot(Bundle(**self._attrs))
 
     def keys(self):
         return self._attrs.keys()
