@@ -99,3 +99,77 @@ def test_select_and_param_edit(sim_and_gui):
     assert _post(gui, "/sim", {"running": False}) == 200
     with sim.core.sh_state.lock():
         assert sim.core.sh_state.sim.settings.running is False
+
+
+def test_map_editor(sim_and_gui):
+    """Map editor parity (reference: library/tpl/gui/views/map_editor.py):
+    control-point editing, width/velocity fields, items, persistence."""
+    sim, gui = sim_and_gui
+    sim.update()
+
+    # editor page + map listing
+    status, body = _get(gui, "/editor")
+    assert status == 200 and b"map editor" in body
+    maps = json.loads(_get(gui, "/maps.json")[1])
+    assert len(maps) > 0
+    key = sorted(maps)[0]
+
+    before = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    n_cp = len(before["control_points"])
+    assert n_cp > 1 and len(before["path"]) > 1
+
+    with sim.env_app.env.lock():
+        rc_before = sim.env_app.env.reset_counter
+
+    # move a control point; the map re-discretizes live
+    cp = before["control_points"][1]
+    assert _post(gui, "/map/edit",
+                 {"op": "move_cp", "map": key, "index": 1,
+                  "x": cp[0] + 0.5, "y": cp[1] + 0.5}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    assert after["control_points"][1][0] == pytest.approx(cp[0] + 0.5)
+
+    # insert + delete keep the count consistent
+    assert _post(gui, "/map/edit",
+                 {"op": "insert_cp", "map": key, "index": 1,
+                  "x": cp[0] + 1.0, "y": cp[1]}) == 200
+    assert _post(gui, "/map/edit",
+                 {"op": "delete_cp", "map": key, "index": 2}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    assert len(after["control_points"]) == n_cp
+
+    # column edit (road width)
+    assert _post(gui, "/map/edit",
+                 {"op": "set_cp_field", "map": key, "field": "d_left",
+                  "start": 0, "end": 2, "value": 4.5}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    assert after["control_points"][0][2] == 4.5
+
+    # add + mutate + delete a velocity-limit item
+    assert _post(gui, "/map/edit",
+                 {"op": "add_item", "map": key, "kind": "velocity_limit",
+                  "x": cp[0], "y": cp[1]}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    vls = [it for it in after["items"] if it["kind"] == "velocity_limit"]
+    assert len(vls) >= 1
+    uid = vls[-1]["uuid"]
+    assert _post(gui, "/map/edit",
+                 {"op": "set_item_field", "map": key, "uuid": uid,
+                  "field": "limit", "value": 7.5}) == 200
+    assert _post(gui, "/map/edit",
+                 {"op": "delete_item", "map": key, "uuid": uid}) == 200
+
+    # every edit bumped reset_counter (planner warm starts invalidated)
+    with sim.env_app.env.lock():
+        assert sim.env_app.env.reset_counter > rc_before
+
+    # persistence round-trip through a temp store path
+    import tempfile, os
+    from tpl_tpu.environment.map_module import load_map_store
+    with tempfile.TemporaryDirectory() as td:
+        out = gui.map_editor.save(store_path=os.path.join(td, "edited"))
+        assert os.path.isfile(os.path.join(out, "state.json"))
+        store = load_map_store("edited", data_path=td)
+        reloaded = util.get_obj_dict(store)
+        assert key in reloaded
+        assert reloaded[key].control_points[0][2] == 4.5

@@ -126,7 +126,7 @@ def load_control_params(sh_controllers, path=None):
         path = getattr(sh_controllers, "storage", "default")
     if not path:
         return
-    abs_path = osp.join(util.PATH_PARAMS, "control", path)
+    abs_path = util.resolve_data("params", osp.join("control", path))
     data = util.load_state_dict(abs_path)
     if data is None:
         return

@@ -55,7 +55,7 @@ def load_env_params(sh_env, path=None):
         path = getattr(sh_env, "storage", "default")
     if not path:
         return False
-    abs_path = osp.join(util.PATH_PARAMS, "env", path)
+    abs_path = util.resolve_data("params", osp.join("env", path))
     data = util.load_state_dict(abs_path)
     if data is None:
         return False

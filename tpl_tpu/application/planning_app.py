@@ -93,7 +93,7 @@ def load_planning_params(sh_planners, path=None):
         path = getattr(sh_planners, "storage", "default")
     if not path:
         return
-    abs_path = osp.join(util.PATH_PARAMS, "planning", path)
+    abs_path = util.resolve_data("params", osp.join("planning", path))
     data = util.load_state_dict(abs_path)
     if data is None:
         return

@@ -115,6 +115,12 @@ class IntersectionPath:
         self.gap_acceptance = 5.0
         self.gap_rejection = 3.0
 
+    def __savestate__(self):
+        s = self.__dict__.copy()
+        s.pop("stop_proj", None)
+        s.pop("map_segment", None)
+        return s
+
 
 _ITEM_CLASSES = {
     "velocity_limit": VelocityLimit,
@@ -156,6 +162,15 @@ class Map:
 
     def __str__(self):
         return self.name
+
+    def __savestate__(self):
+        """Persist only source fields; path/boundaries are recomputed by
+        reinit_map on load."""
+        keep = ("__tag__", "name", "uuid", "velocity_limits",
+                "turn_ind_points", "map_switch_points",
+                "intersection_paths", "control_points", "smoothing",
+                "step_size_discr", "closed_path")
+        return {k: self.__dict__[k] for k in keep if k in self.__dict__}
 
 
 class LocalMap(Map):
@@ -633,9 +648,13 @@ def load_map_store(file_path, data_path=None):
     (reference: map_module.py:822-851; format-compatible with the
     reference's objtoolbox map stores)
     """
-    base = data_path or util.PATH_MAPS
-    full = os.path.join(base, file_path) if file_path else None
-    if not full or not os.path.isdir(full):
+    if not file_path:
+        return util.Bundle()
+    if data_path:
+        full = os.path.join(data_path, file_path)
+    else:
+        full = util.resolve_data("maps", file_path)
+    if not os.path.isdir(full):
         return util.Bundle()
 
     try:

@@ -49,7 +49,8 @@ _PAGE = """<!doctype html>
  <p>planner <select id="planner"></select>
     controller <select id="controller"></select></p>
  <p><button onclick="setSim(true)">run</button>
-    <button onclick="setSim(false)">pause</button></p>
+    <button onclick="setSim(false)">pause</button>
+    <a href="editor" style="color:#4a9">map editor</a></p>
  <pre id="viol"></pre>
 </div>
 <script>
@@ -87,6 +88,157 @@ function setSim(running) {
   fetch('sim', {method: 'POST', body: JSON.stringify({running})});
 }
 setInterval(tick, 500); tick();
+</script>
+</body></html>
+"""
+
+
+_EDITOR_PAGE = """<!doctype html>
+<html><head><title>tpl-tpu map editor</title>
+<style>
+ body { font-family: sans-serif; background: #111; color: #eee;
+        display: flex; gap: 1.5em; padding: 1em; }
+ canvas { border: 1px solid #444; background: #181818; }
+ td { padding: 0 0.5em 0 0; }
+ input { width: 5em; }
+</style></head>
+<body>
+<canvas id="cv" width="820" height="820"></canvas>
+<div>
+ <h3>map editor</h3>
+ <p>map <select id="map"></select>
+    <button onclick="save()">save store</button></p>
+ <table>
+  <tr><td>selected cp</td><td id="selidx">-</td></tr>
+  <tr><td>d_left</td><td><input id="d_left" onchange="setF('d_left')"></td></tr>
+  <tr><td>d_right</td><td><input id="d_right" onchange="setF('d_right')"></td></tr>
+  <tr><td>v</td><td><input id="v" onchange="setF('v')"></td></tr>
+ </table>
+ <p><button onclick="insertCp()">insert after</button>
+    <button onclick="deleteCp()">delete</button></p>
+ <p style="max-width:22em;color:#999">click: select control point ·
+    drag: move it · edits re-discretize the live map and invalidate
+    planner warm starts</p>
+ <pre id="err"></pre>
+</div>
+<script>
+let M = null, sel = -1, drag = false, view = null;
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+function fit() {
+  const xs = M.control_points.map(p => p[0]),
+        ys = M.control_points.map(p => p[1]);
+  const x0 = Math.min(...xs), x1 = Math.max(...xs),
+        y0 = Math.min(...ys), y1 = Math.max(...ys);
+  const s = 0.92 * Math.min(cv.width / Math.max(1, x1 - x0),
+                            cv.height / Math.max(1, y1 - y0));
+  view = {s, ox: (x0 + x1) / 2, oy: (y0 + y1) / 2};
+}
+const W = p => [cv.width / 2 + (p[0] - view.ox) * view.s,
+                cv.height / 2 - (p[1] - view.oy) * view.s];
+const U = (px, py) => [view.ox + (px - cv.width / 2) / view.s,
+                       view.oy - (py - cv.height / 2) / view.s];
+function draw() {
+  if (!M) return;
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  for (const [b, c] of [[M.boundary_left, '#666'],
+                        [M.boundary_right, '#666'],
+                        [M.path, '#4a9']]) {
+    if (!b.length) continue;
+    ctx.strokeStyle = c; ctx.beginPath();
+    b.forEach((p, i) => { const q = W(p);
+      i ? ctx.lineTo(q[0], q[1]) : ctx.moveTo(q[0], q[1]); });
+    ctx.stroke();
+  }
+  M.control_points.forEach((p, i) => {
+    const q = W(p);
+    ctx.fillStyle = i === sel ? '#fa0' : '#ccc';
+    ctx.beginPath(); ctx.arc(q[0], q[1], i === sel ? 6 : 3.5, 0, 7);
+    ctx.fill();
+  });
+  for (const it of M.items) {
+    const q = W(it.pos);
+    ctx.fillStyle = {traffic_light: '#e33', cross_walk: '#39e',
+                     velocity_limit: '#ee3'}[it.kind] || '#c6c';
+    ctx.fillRect(q[0] - 4, q[1] - 4, 8, 8);
+    ctx.fillStyle = '#999';
+    ctx.fillText(it.kind, q[0] + 6, q[1] + 3);
+  }
+}
+async function loadMap(key) {
+  M = await (await fetch('map.json?map=' + key)).json();
+  if (M.error) { document.getElementById('err').textContent = M.error;
+                 return; }
+  sel = -1; fit(); draw(); syncFields();
+}
+function syncFields() {
+  document.getElementById('selidx').textContent = sel < 0 ? '-' : sel;
+  for (const f of ['d_left', 'd_right', 'v']) {
+    const col = {d_left: 2, d_right: 3, v: 4}[f];
+    document.getElementById(f).value =
+      sel < 0 ? '' : M.control_points[sel][col].toFixed(2);
+  }
+}
+async function edit(req) {
+  req.map = document.getElementById('map').value;
+  const r = await fetch('map/edit', {method: 'POST',
+    body: JSON.stringify(req)});
+  const e = await r.json();
+  document.getElementById('err').textContent = e.error || '';
+  await loadMap(req.map);
+}
+function setF(f) {
+  if (sel < 0) return;
+  edit({op: 'set_cp_field', field: f, start: sel, end: sel,
+        value: parseFloat(document.getElementById(f).value)});
+}
+function insertCp() {
+  if (sel < 0 || !M) return;
+  const p = M.control_points[sel],
+        p2 = M.control_points[Math.min(sel + 1, M.control_points.length - 1)];
+  edit({op: 'insert_cp', index: sel,
+        x: (p[0] + p2[0]) / 2 + (sel + 1 === M.control_points.length ? 5 : 0),
+        y: (p[1] + p2[1]) / 2});
+}
+function deleteCp() { if (sel >= 0) { edit({op: 'delete_cp', index: sel});
+                                      sel = -1; } }
+cv.onmousedown = ev => {
+  if (!M) return;
+  const r = cv.getBoundingClientRect(),
+        mx = ev.clientX - r.left, my = ev.clientY - r.top;
+  let best = -1, bd = 144;
+  M.control_points.forEach((p, i) => {
+    const q = W(p), d = (q[0] - mx) ** 2 + (q[1] - my) ** 2;
+    if (d < bd) { bd = d; best = i; }
+  });
+  sel = best; drag = best >= 0; syncFields(); draw();
+};
+cv.onmousemove = ev => {
+  if (!drag || sel < 0) return;
+  const r = cv.getBoundingClientRect(),
+        u = U(ev.clientX - r.left, ev.clientY - r.top);
+  M.control_points[sel][0] = u[0]; M.control_points[sel][1] = u[1];
+  draw();
+};
+cv.onmouseup = ev => {
+  if (drag && sel >= 0)
+    edit({op: 'move_cp', index: sel, x: M.control_points[sel][0],
+          y: M.control_points[sel][1]});
+  drag = false;
+};
+async function save() {
+  const r = await fetch('map/save', {method: 'POST', body: '{}'});
+  const e = await r.json();
+  document.getElementById('err').textContent =
+    e.error || ('saved: ' + e.path);
+}
+(async () => {
+  const maps = await (await fetch('maps.json')).json();
+  const sel2 = document.getElementById('map');
+  sel2.innerHTML = Object.keys(maps).map(
+    k => '<option>' + k + '</option>').join('');
+  sel2.onchange = () => loadMap(sel2.value);
+  if (sel2.value) loadMap(sel2.value);
+})();
 </script>
 </body></html>
 """
@@ -141,6 +293,9 @@ class GuiServer:
         self.planning_store = planning_store
         self.control_store = control_store
 
+        from tpl_tpu.gui.map_editor import MapEditor
+        self.map_editor = MapEditor(env)
+
         gui = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -156,16 +311,26 @@ class GuiServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                path = self.path.split("?")[0]
+                path, _, query = self.path.partition("?")
                 try:
                     if path == "/":
                         self._send(200, _PAGE.encode(), "text/html")
+                    elif path == "/editor":
+                        self._send(200, _EDITOR_PAGE.encode(), "text/html")
                     elif path == "/state.json":
                         self._send(200, json.dumps(
                             gui.state_dict()).encode())
                     elif path == "/params.json":
                         self._send(200, json.dumps(
                             gui.params_dict()).encode())
+                    elif path == "/maps.json":
+                        self._send(200, json.dumps(
+                            gui.map_editor.list_maps()).encode())
+                    elif path == "/map.json":
+                        from urllib.parse import parse_qs
+                        key = parse_qs(query).get("map", [""])[0]
+                        self._send(200, json.dumps(
+                            gui.map_editor.map_dict(key)).encode())
                     elif path == "/scene.png":
                         self._send(200, gui.scene_png(), "image/png")
                     else:
@@ -185,6 +350,12 @@ class GuiServer:
                                       req["param"], req["value"])
                     elif self.path == "/sim":
                         gui.set_sim(req)
+                    elif self.path == "/map/edit":
+                        gui.map_editor.edit(req)
+                    elif self.path == "/map/save":
+                        out = gui.map_editor.save(req.get("store_path"))
+                        self._send(200, json.dumps({"path": out}).encode())
+                        return
                     else:
                         self._send(404, b"{}")
                         return

@@ -281,7 +281,7 @@ def _merge_sim(sim, data):
 def load_sim_state(path):
     """Load a scenario directory (state.json + optional manager.py).
     (reference: state.py:329-348)"""
-    full = os.path.join(util.PATH_SCENARIOS, path)
+    full = util.resolve_data("scenarios", path)
     data = util.load_state_dict(full)
     if data is None:
         return None

@@ -118,24 +118,66 @@ def runtime(func):
 
 # --- data paths -------------------------------------------------------
 
-def _default_data_path():
+_REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "data")
+_REFERENCE_DATA = "/root/reference/data"
+
+
+def data_roots():
+    """Ordered data roots: $TPL_TPU_DATA (a user's existing tpl data
+    directory — the format is compatible), then the vendored repo data,
+    then the reference checkout if one is mounted."""
+    roots = []
     env = os.environ.get("TPL_TPU_DATA")
     if env:
-        return env
-    repo_data = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "data")
-    if os.path.isdir(repo_data):
-        return repo_data
-    ref = "/root/reference/data"
-    if os.path.isdir(ref):
-        return ref
-    return repo_data
+        roots.append(env)
+    roots.append(_REPO_DATA)
+    if os.path.isdir(_REFERENCE_DATA):
+        roots.append(_REFERENCE_DATA)
+    return roots
+
+
+def _default_data_path():
+    return data_roots()[0]
 
 
 PATH_DATA = _default_data_path()
 PATH_SCENARIOS = os.path.join(PATH_DATA, "scenarios")
 PATH_MAPS = os.path.join(PATH_DATA, "maps")
 PATH_PARAMS = os.path.join(PATH_DATA, "params")
+
+
+def resolve_data(kind, rel=""):
+    """Resolve ``<data>/<kind>/<rel>`` across the layered data roots.
+
+    ``PATH_<KIND>`` (which tests may monkeypatch) is searched first, then
+    every root from :func:`data_roots`.  Returns the first existing path;
+    if none exists, the primary path is returned so error messages point
+    somewhere sensible.
+    """
+    primary = globals().get("PATH_" + kind.upper(),
+                            os.path.join(PATH_DATA, kind))
+    candidates = [primary]
+    candidates += [os.path.join(r, kind) for r in data_roots()]
+    for c in candidates:
+        p = os.path.join(c, rel) if rel else c
+        if os.path.exists(p):
+            return p
+    return os.path.join(primary, rel) if rel else primary
+
+
+def list_data(kind):
+    """Union of entries under <root>/<kind> across all data roots (the
+    primary root wins name clashes)."""
+    seen = {}
+    primary = globals().get("PATH_" + kind.upper(),
+                            os.path.join(PATH_DATA, kind))
+    for base in [primary] + [os.path.join(r, kind) for r in data_roots()]:
+        if not os.path.isdir(base):
+            continue
+        for name in sorted(os.listdir(base)):
+            seen.setdefault(name, os.path.join(base, name))
+    return seen
 
 
 # --- bundle + stores --------------------------------------------------
@@ -341,7 +383,7 @@ def _encode_node(value):
         return value.item()
     if isinstance(value, (Bundle, Store)):
         return {k: _encode_node(v) for k, v in value.items()
-                if not k.startswith("_")}
+                if k == "__tag__" or not k.startswith("_")}
     if isinstance(value, dict):
         return {k: _encode_node(v) for k, v in value.items()}
     if isinstance(value, (list, tuple)):
@@ -351,8 +393,10 @@ def _encode_node(value):
             d = value.__savestate__()
         else:
             d = value.__dict__
+        # __tag__ survives the private-key filter: the map-item loaders
+        # dispatch their typed classes on it
         return {k: _encode_node(v) for k, v in d.items()
-                if not k.startswith("_")}
+                if k == "__tag__" or not k.startswith("_")}
     return value
 
 
