@@ -176,3 +176,22 @@ def test_native_project_matches_numpy_core():
                 res[:, 9:11], ref["tangent"], atol=1e-9)
             np.testing.assert_array_equal(
                 res[:, 11] != 0.0, ref["in_bounds"])
+
+
+def test_project_degenerate_polyline():
+    """Paths with < 2 points have no segments: the reference returns a
+    default projection with distance = INFINITY (utils.cpp:257-263).
+    Hit in practice by IDM leader lookups on a path_segment window
+    clipped at an open path's end (core.py update_cars)."""
+    from tpl_tpu import util
+
+    p = util.project(np.zeros((0, 2)), (1.0, 2.0))
+    assert p.distance == np.inf and not p.in_bounds
+
+    p = util.project(np.array([[3.0, 4.0]]), (1.0, 2.0))
+    assert p.distance == np.inf and not p.in_bounds
+    assert np.allclose(p.point, [3.0, 4.0])
+
+    # batched form
+    ps = util.project(np.zeros((1, 2)), [(0.0, 0.0), (1.0, 1.0)])
+    assert all(not q.in_bounds for q in ps)

@@ -60,6 +60,25 @@ def _project_core(points, positions, closed):
     positions = np.atleast_2d(np.asarray(positions, dtype=np.float64))
     n = len(points)
 
+    if n < 2:
+        # degenerate polyline (e.g. a path_segment window clipped at an
+        # open path's end): no segments to visit — the reference returns
+        # a default projection with distance = INFINITY in that case
+        # (utils.cpp:257-263: the segment loop never runs)
+        m = len(positions)
+        return dict(
+            start=np.zeros(m, dtype=np.int64),
+            end=np.zeros(m, dtype=np.int64),
+            alpha=np.zeros(m),
+            index=np.zeros(m, dtype=np.int64),
+            point=(np.tile(points[0], (m, 1)) if n == 1
+                   else np.zeros((m, 2))),
+            distance=np.full(m, np.inf),
+            arc_len=np.zeros(m),
+            angle=np.zeros(m),
+            tangent=np.zeros((m, 2)),
+            in_bounds=np.zeros(m, dtype=bool))
+
     if n >= 2:
         from tpl_tpu import native
         res = native.project(points, positions, closed)
