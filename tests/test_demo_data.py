@@ -118,3 +118,52 @@ def test_demo_scenario_full(scenario, planner):
                     "demo/urban_crossing"):
         # these finish by passing a goal x, not by timeout
         assert ego.x > 100.0
+
+
+def test_scenario_snapshot_resume(tmp_path):
+    """Checkpoint/resume: freeze a running sim as a scenario and resume
+    it exactly there (reference: state.py:316-337 — scenario state.json
+    is a frozen SimState that resumes mid-scene)."""
+    from tpl_tpu.simulation import SimStandalone
+    from tpl_tpu.simulation.state import save_sim_state, load_sim_state
+
+    np.random.seed(0)
+    sim = SimStandalone(app_id=uuid.uuid4().hex[:8],
+                        scenario_path="demo/country_follow")
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+    for _ in range(250):
+        sim.update()
+
+    with sim.core.sh_state.lock():
+        frozen = sim.core.sh_state.sim
+        t0, x0, v0 = frozen.t, frozen.ego.x, frozen.ego.v
+        car_x0 = frozen.cars[0].x
+        out = save_sim_state(frozen, str(tmp_path / "frozen"))
+    assert t0 > 1.0 and v0 > 1.0
+
+    resumed = load_sim_state(str(tmp_path / "frozen"))
+    assert resumed.t == pytest.approx(t0)
+    assert resumed.ego.x == pytest.approx(x0)
+    assert resumed.ego.v == pytest.approx(v0)
+    assert resumed.cars[0].x == pytest.approx(car_x0)
+    assert resumed.finished is False
+
+    # a fresh standalone resumes from the frozen scene and keeps driving
+    sim2 = SimStandalone(app_id=uuid.uuid4().hex[:8],
+                         scenario_path=str(tmp_path / "frozen"))
+    with sim2.core.sh_state.lock():
+        ss = sim2.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+        assert ss.ego.x == pytest.approx(x0)
+    for _ in range(50):
+        sim2.update()
+    with sim2.core.sh_state.lock():
+        s2 = sim2.core.sh_state.sim
+        # reference parity: the scene resumes but the clock restarts
+        # (reference core.py:68 resets sim.t = 0.0 on reload)
+        assert 0.0 < s2.t < t0
+        assert s2.ego.x > x0 + 0.5  # still driving from the frozen pose

@@ -463,6 +463,9 @@ class GuiServer:
                 sim.settings.running = bool(req["running"])
             if "use_real_time" in req:
                 sim.settings.use_real_time = bool(req["use_real_time"])
+            if "save_scenario" in req:
+                from tpl_tpu.simulation.state import save_sim_state
+                save_sim_state(sim, req["save_scenario"])
             self.sim_store.sim = sim
 
     # lifecycle ----------------------------------------------------

@@ -9,6 +9,7 @@ from tpl_tpu.simulation.state import (
     SimRuleChecker,
     SimIdmParams,
     load_sim_state,
+    save_sim_state,
 )
 from tpl_tpu.simulation.core import SimCore
 from tpl_tpu.simulation.standalone import SimStandalone

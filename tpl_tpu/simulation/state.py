@@ -278,6 +278,33 @@ def _merge_sim(sim, data):
     return sim
 
 
+def save_sim_state(sim, path):
+    """Freeze a SimState as a scenario directory (state.json).
+
+    The reference's scenarios are literally frozen SimStates that resume
+    mid-scene (reference: state.py:316-337, e.g.
+    data/scenarios/default/state.json) — saving a running sim yields a
+    scenario that restarts exactly there.  ``path`` is resolved relative
+    to the primary scenarios root unless absolute.  Runtime-only fields
+    (manager, car projections, available_maps) are stripped.
+    """
+    d = dict(sim.__dict__)
+    d.pop("manager", None)
+    d.pop("available_maps", None)
+    cars = []
+    for c in d.get("cars", []):
+        cd = dict(c.__dict__)
+        cd.pop("proj", None)
+        cars.append(cd)
+    d["cars"] = cars
+    # a frozen mid-run state must not immediately terminate or reload
+    d["finished"] = False
+    if not os.path.isabs(path):
+        path = os.path.join(util.PATH_SCENARIOS, path)
+    util.save_state_dict(d, path)
+    return path
+
+
 def load_sim_state(path):
     """Load a scenario directory (state.json + optional manager.py).
     (reference: state.py:329-348)"""
