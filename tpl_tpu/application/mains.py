@@ -22,6 +22,16 @@ import argparse
 os.environ.setdefault("TPL_TPU_SHM", "1")
 
 
+def _maybe_reload(update_fn):
+    """Wrap an app update loop in the live code reloader, like the
+    reference's minireload wrapper (reference: planning_app.py:131).
+    Disable with TPL_TPU_NO_RELOAD=1."""
+    if os.environ.get("TPL_TPU_NO_RELOAD"):
+        return update_fn
+    from tpl_tpu.util.hotreload import WrappingReloader
+    return WrappingReloader(update_fn)
+
+
 def _shared_env(app_id):
     # app stores use the bare app_id prefix (planning_app.py convention)
     from tpl_tpu.util.shm_store import ShmObject
@@ -44,11 +54,12 @@ def env_main(app_id="", env_params=None, max_ticks=None):
     app.tracking_module = TrackingModule()
     app.prediction_module = PredictionModule()
 
+    update = _maybe_reload(app.update)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
         with app.env.lock():
             t = app.env.t
-        app.update(t)
+        update(t)
         time.sleep(0.001)
         ticks += 1
 
@@ -58,19 +69,21 @@ def planning_main(app_id="", planning_params=None, max_ticks=None):
     shared_env = _shared_env(app_id)
     shared_env.revalidate()
     app = PlanningApp(app_id, planning_params, shared_env=shared_env)
+    update = _maybe_reload(app.update)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
         shared_env.revalidate()
-        app.update()
+        update()
         ticks += 1
 
 
 def control_main(app_id="", control_params=None, max_ticks=None):
     from tpl_tpu.application.control_app import ControlApp
     app = ControlApp(app_id, control_params)
+    update = _maybe_reload(app.update)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
-        app.update()
+        update()
         time.sleep(0.001)
         ticks += 1
 

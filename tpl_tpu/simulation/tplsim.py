@@ -38,8 +38,15 @@ def run(args):
     ticks = 0
     planner_runtimes = []
 
+    # live code reloading, like the reference's minireload wrapper
+    # (reference: library/tpl/simulation/tplsim:40-45)
+    update = sim.update
+    if not args.no_reload:
+        from tpl_tpu.util.hotreload import WrappingReloader
+        update = WrappingReloader(sim.update)
+
     while True:
-        sim.update()
+        update()
         ticks += 1
 
         with sim.core.sh_state.lock():
@@ -83,8 +90,10 @@ def attach(args):
     from tpl_tpu.simulation.record import SimAttach
 
     sim = SimAttach(app_id=args.app_id, scenario_path=args.scenario)
+    from tpl_tpu.util.hotreload import WrappingReloader
+    update = WrappingReloader(sim.update)
     while True:
-        sim.update()
+        update()
 
 
 def replay(args):
@@ -111,6 +120,8 @@ def main():
     p_run.add_argument("--max-ticks", type=int, default=None)
     p_run.add_argument("--seed", type=int, default=0)
     p_run.add_argument("--verbose", action="store_true", default=True)
+    p_run.add_argument("--no-reload", action="store_true",
+                       help="disable live code reloading")
 
     p_att = sub.add_parser("attach")
     p_att.add_argument("--scenario", default="default")
