@@ -91,7 +91,7 @@ def test_dist_map_lon_oracle():
 def test_latlon_planner_brakes_for_blocked_road():
     env = _straight_env()
     cpp = llk.LatLonParams()
-    solver = llk.make_latlon_solver(dict(
+    solver, _ = llk.make_latlon_solver(dict(
         t_steps=10, s_steps=201, ds_steps=37, l_steps=21))
     x0 = np.zeros(12, np.float32)
     x0[llk.C_DS] = 8.0
@@ -111,7 +111,7 @@ def test_latlon_planner_brakes_for_blocked_road():
 def test_latlon_planner_drives_free_road():
     env = _straight_env(obstacle=False)
     cpp = llk.LatLonParams()
-    solver = llk.make_latlon_solver(dict(
+    solver, _ = llk.make_latlon_solver(dict(
         t_steps=10, s_steps=201, ds_steps=37, l_steps=21))
     x0 = np.zeros(12, np.float32)
     x0[llk.C_DS] = 8.0
@@ -129,7 +129,7 @@ def test_latlon_planner_drives_free_road():
 def test_host_reeval_matches_validity():
     env = _straight_env()
     cpp = llk.LatLonParams()
-    solver = llk.make_latlon_solver(dict(
+    solver, _ = llk.make_latlon_solver(dict(
         t_steps=10, s_steps=201, ds_steps=37, l_steps=21))
     x0 = np.zeros(12, np.float32)
     x0[llk.C_DS] = 8.0
@@ -149,3 +149,41 @@ def test_host_reeval_matches_validity():
     bad[:, llk.C_L] = 0.0
     re_bad = he.reeval(bad)
     assert np.any(re_bad[:, llk.C_CONSTR] > 0.0)
+
+
+def test_device_reeval_matches_host():
+    """The on-device reeval (one dispatch, grid stays on device) must
+    reproduce HostEval.reeval."""
+    env = _straight_env()
+    cpp = llk.LatLonParams()
+    solver, reeval = llk.make_latlon_solver(dict(
+        t_steps=10, s_steps=201, ds_steps=37, l_steps=21))
+    x0 = np.zeros(12, np.float32)
+    x0[llk.C_DS] = 8.0
+    _, traj = solver(env.grid.dist_map_lon, env.grid.ref_line,
+                     jnp.float32(0.5), cpp.dynamic_dict(), jnp.asarray(x0))
+    traj = np.asarray(traj, dtype=np.float64)
+
+    he = llk.HostEval(env.get_dist_map_lon(), env.ref_line, 0.5, cpp)
+
+    for cand in (traj, _bad_traj(traj)):
+        re_h = he.reeval(cand)
+        re_d = np.asarray(reeval(env.grid.dist_map_lon, env.grid.ref_line,
+                                 jnp.float32(0.5), cpp.dynamic_dict(),
+                                 jnp.asarray(cand)))
+        np.testing.assert_allclose(re_d[:, llk.C_COST],
+                                   re_h[:, llk.C_COST], rtol=1e-4)
+        np.testing.assert_allclose(re_d[:, llk.C_CONSTR],
+                                   re_h[:, llk.C_CONSTR], rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_array_equal(re_d[:, llk.C_FLAGS],
+                                      re_h[:, llk.C_FLAGS])
+
+
+def _bad_traj(traj):
+    bad = traj.copy()
+    bad[:, llk.C_S] = np.linspace(40.0, 60.0, len(bad))
+    bad[:, llk.C_DS] = 5.0
+    bad[:, llk.C_L] = np.linspace(0.0, 2.0, len(bad))
+    bad[:, llk.C_DL] = 0.4
+    return bad

@@ -39,18 +39,39 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_optim():
-    """Import the reference genopt + optimizer configs (pure sympy/numpy)."""
+    """Import the reference genopt + optimizer configs (pure sympy/numpy).
+
+    The simulation layer installs a lightweight ``tpl`` shim module so the
+    reference's scenario manager scripts can import their original module
+    names (tpl_tpu/simulation/state.py _install_manager_shims); that shim
+    shadows the real reference package here, so it is swapped out for the
+    duration of these tests and restored afterwards.
+    """
     os.makedirs(CACHE, exist_ok=True)
-    # numpy 2.x compat shim for the generated C (see module docstring)
-    shim = "-DPyArray_MoveInto=PyArray_CopyInto"
-    if shim not in os.environ.get("CFLAGS", ""):
+    # numpy 2.x compat: the generated C uses PyArray_MoveInto (removed in
+    # numpy 2.x); PyArray_CopyInto is the drop-in replacement
+    cflag = "-DPyArray_MoveInto=PyArray_CopyInto"
+    if cflag not in os.environ.get("CFLAGS", ""):
         os.environ["CFLAGS"] = (os.environ.get("CFLAGS", "")
-                                + " " + shim).strip()
+                                + " " + cflag).strip()
     if REF_LIB not in sys.path:
         sys.path.insert(0, REF_LIB)
+
+    saved = {}
+    if getattr(sys.modules.get("tpl"), "__tpl_tpu_shim__", False):
+        for k in [k for k in sys.modules
+                  if k == "tpl" or k.startswith("tpl.")]:
+            saved[k] = sys.modules.pop(k)
+
     ref_genopt = pytest.importorskip("tpl.optim.genopt")
     ref_opts = pytest.importorskip("tpl.optim.optimizers")
-    return ref_genopt, ref_opts
+    yield ref_genopt, ref_opts
+
+    if saved:
+        for k in [k for k in sys.modules
+                  if k == "tpl" or k.startswith("tpl.")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
 
 
 def build_ref(ref_optim, config_fn):

@@ -15,6 +15,48 @@ import jax.numpy as jnp
 from functools import partial
 
 
+# The Vxx recursion (and thus the feedback gains K and all derived
+# operators) depends only on (H, fx, fu, lxx, luu) — NOT on the tracked
+# reference — so it is cached per problem shape.  Per call, only the
+# reference-dependent Vx recursion runs: Vx_i = -lxx_i @ xref_i + G_i @
+# Vx_{i+1} with k_i = Wfu_i @ Vx_{i+1}, where G and Wfu are the cached
+# condensed operators.  This makes the per-tick trajectory smoothing of
+# the DP planners (two 4-state chains per tick) a cheap linear recursion.
+_GAIN_CACHE = {}
+_GAIN_CACHE_MAX = 64
+
+
+def _lqr_gains(H, fx, fu, lxx, luu):
+    key = (H, fx.tobytes(), fu.tobytes(), lxx.tobytes(), luu.tobytes())
+    hit = _GAIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    X = fx.shape[0]
+    U = fu.shape[1]
+    Ks = np.zeros((H, U, X))
+    Gs = np.zeros((H - 1, X, X))
+    Wfus = np.zeros((H - 1, U, X))
+
+    Vxx = lxx[-1].copy()
+    for i in range(H - 2, -1, -1):
+        Qxx = lxx[i] + fx.T @ Vxx @ fx
+        Quu = luu[i] + fu.T @ Vxx @ fu
+        Qux = fu.T @ Vxx @ fx
+        W = -np.linalg.inv(Quu)
+        Ks[i] = W @ Qux
+        Wfu = W @ fu.T
+        Wfus[i] = Wfu
+        Gs[i] = fx.T + (Ks[i].T @ Quu @ W + Ks[i].T + Qux.T @ W) @ fu.T
+        tmp = Ks[i].T @ Qux
+        Vxx = Qxx + Ks[i].T @ Quu @ Ks[i] + tmp + tmp.T
+
+    if len(_GAIN_CACHE) >= _GAIN_CACHE_MAX:
+        _GAIN_CACHE.clear()
+    _GAIN_CACHE[key] = (Ks, Gs, Wfus)
+    return Ks, Gs, Wfus
+
+
 def lqr_smoother(x0, x_ref, fx, fu, lxx, luu):
     """Track x_ref with linear dynamics (fx, fu) and quadratic costs.
 
@@ -34,27 +76,16 @@ def lqr_smoother(x0, x_ref, fx, fu, lxx, luu):
     if luu.ndim == 2:
         luu = np.broadcast_to(luu, (H, U, U))
 
+    Ks, Gs, Wfus = _lqr_gains(H, fx, fu, lxx, luu)
+
+    # reference-dependent feedforward: backward linear recursion over the
+    # condensed operators
+    lx_terms = -np.einsum("hij,hj->hi", lxx, x_ref)
     ks = np.zeros((H, U))
-    Ks = np.zeros((H, U, X))
-
-    Vxx = lxx[-1].copy()
-    Vx = -lxx[-1] @ x_ref[-1]
-
+    Vx = lx_terms[-1]
     for i in range(H - 2, -1, -1):
-        lx = -lxx[i] @ x_ref[i]
-        Qx = lx + fx.T @ Vx
-        Qu = fu.T @ Vx
-        Qxx = lxx[i] + fx.T @ Vxx @ fx
-        Quu = luu[i] + fu.T @ Vxx @ fu
-        Qux = fu.T @ Vxx @ fx
-
-        W = -np.linalg.inv(Quu)
-        ks[i] = W @ Qu
-        Ks[i] = W @ Qux
-
-        Vx = Qx + Ks[i].T @ Quu @ ks[i] + Ks[i].T @ Qu + Qux.T @ ks[i]
-        tmp = Ks[i].T @ Qux
-        Vxx = Qxx + Ks[i].T @ Quu @ Ks[i] + tmp + tmp.T
+        ks[i] = Wfus[i] @ Vx
+        Vx = lx_terms[i] + Gs[i] @ Vx
 
     xs = np.zeros((H, X))
     us = np.zeros((H, U))

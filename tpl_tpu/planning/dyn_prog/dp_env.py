@@ -10,6 +10,7 @@ import time
 import copy
 
 import numpy as np
+import jax
 
 from tpl_tpu import util
 from tpl_tpu.util import Bundle
@@ -24,6 +25,11 @@ class Params:
 
     def __init__(self):
         self.write_debug_data = True
+        # grid debug dumps are full device->host pulls; over a tunneled
+        # TPU each costs ~RTT+transfer, so they refresh at their own rate
+        # instead of every tick (the reference pulls every update, but its
+        # GPU is local: dp_env.py:174-189)
+        self.debug_grid_interval = 0.3
         self.dead_time = 0.0
 
         self.a_lat_max = 2.5
@@ -56,6 +62,7 @@ class DpEnv:
 
         self.cpp_env = DpEnvironment()
         self.runtime_environment = 0.0
+        self._last_debug_grid_t = -np.inf
 
         with self.lock_shared():
             if not hasattr(self.shared, "params"):
@@ -116,8 +123,10 @@ class DpEnv:
         params.cpp.l_min = float(np.floor(np.min(-self.ref_line[:, 7])))
         params.cpp.l_max = float(np.ceil(np.max(self.ref_line[:, 6])))
 
-    def update_environment(self, env, params):
-        """(dp_env.py:124-172)"""
+    def update_environment(self, env, params, defer_device=False):
+        """(dp_env.py:124-172). With defer_device the host-side prep
+        (ref line upload packing, geometry insertion) runs but the device
+        grid build is left to the caller (fused replan program)."""
         start = time.perf_counter()
 
         self.cpp_env.reinit_buffers(params.cpp)
@@ -156,21 +165,45 @@ class DpEnv:
                 quads = [(q, t - params.dead_time) for q, t in quads]
                 self.cpp_env.insert_geometry(quads, obj.stationary)
 
-        self.cpp_env.update()
+        if not defer_device:
+            self.cpp_env.update()
         self.runtime_environment = (time.perf_counter() - start) * 1000.0
 
-    def write_debug_data(self):
+    def write_debug_data(self, env, params):
+        pull_grids = (env.t - self._last_debug_grid_t
+                      >= params.debug_grid_interval
+                      or env.t < self._last_debug_grid_t)
+        grids = None
+        if pull_grids:
+            grid = self.cpp_env.grid
+            # one batched pull for both maps (single round trip)
+            grids = jax.device_get((grid.occ_map, grid.dist_map_lon))
+            self._last_debug_grid_t = env.t
         with self.lock_shared():
             dbg = self.shared.debug.env
             dbg.runtime_environment = self.runtime_environment
             dbg.ref_line = self.ref_line
-            dbg.occ_map = self.cpp_env.get_occ_map()
-            dbg.dist_map_lon = self.cpp_env.get_dist_map_lon()
+            if grids is not None:
+                dbg.occ_map = np.asarray(grids[0])
+                dbg.dist_map_lon = np.asarray(grids[1])
 
-    def update(self, env):
+    def update(self, env, defer_device=False):
         params = self.update_params(env)
         self.update_reference_line(env, params)
-        self.update_environment(env, params)
+        self.update_environment(env, params, defer_device=defer_device)
+        if defer_device:
+            # grids are not built yet; the caller adopts them and then
+            # calls finish_deferred_update
+            self._deferred = (env, params)
+        else:
+            if params.write_debug_data:
+                self.write_debug_data(env, params)
+            self.last_update_time = env.t
+
+    def finish_deferred_update(self):
+        """Debug write + bookkeeping after the caller adopted the fused
+        program's grids."""
+        env, params = self._deferred
         if params.write_debug_data:
-            self.write_debug_data()
+            self.write_debug_data(env, params)
         self.last_update_time = env.t

@@ -404,7 +404,10 @@ class DpEnvironment:
             self._quads.append((_make_ccw(np.asarray(quad) - offset), t_idx,
                                 bool(stationary)))
 
-    def update(self):
+    def device_inputs(self):
+        """Host-side packing of all _build_grids inputs (so a caller can
+        feed them into a larger fused program, see
+        lat_lon_kernel.make_latlon_replan)."""
         p = self.params
         if self.ref_line is None:
             raise RuntimeError("set_ref_line before update")
@@ -423,15 +426,23 @@ class DpEnvironment:
             tbit[i] = min(t_idx, p.t_steps - 1)
             stat[i] = stationary
             valid[i] = True
+        return (jnp.asarray(self.ref_line), jnp.float32(self.ref_step),
+                jnp.asarray(quads), jnp.asarray(tbit), jnp.asarray(stat),
+                jnp.asarray(valid), jnp.float32(p.dilation),
+                jnp.float32(p.s_min), jnp.float32(p.s_step_size),
+                jnp.float32(p.l_min), jnp.float32(p.l_step_size))
 
-        occ, dist_lon = _build_grids(
-            jnp.asarray(self.ref_line), jnp.float32(self.ref_step),
-            jnp.asarray(quads), jnp.asarray(tbit), jnp.asarray(stat),
-            jnp.asarray(valid), jnp.float32(p.dilation),
-            jnp.float32(p.s_min), jnp.float32(p.s_step_size),
-            jnp.float32(p.l_min), jnp.float32(p.l_step_size),
-            p.t_steps, p.s_steps, p.l_steps)
+    def adopt_grid(self, occ, dist_lon):
+        """Install externally computed (device-resident) grids."""
+        self.grid = DpEnvGrid(occ, dist_lon, jnp.asarray(self.ref_line),
+                              self.params)
+        return self.grid
 
+    def update(self):
+        p = self.params
+        inputs = self.device_inputs()
+        occ, dist_lon = _build_grids(*inputs, p.t_steps, p.s_steps,
+                                     p.l_steps)
         self.grid = DpEnvGrid(occ, dist_lon, jnp.asarray(self.ref_line), p)
         return self.grid
 

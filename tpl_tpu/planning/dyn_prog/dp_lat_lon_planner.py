@@ -23,7 +23,7 @@ from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
 from tpl_tpu.planning.dyn_prog.lat_lon_kernel import (
-    LatLonParams, HostEval, latlon_dynamics_np,
+    LatLonParams, latlon_dynamics_np,
     C_T, C_S, C_DS, C_DDS, C_DDDS, C_L, C_DL, C_DDL, C_DDDL,
     C_COST, C_CONSTR, C_FLAGS,
 )
@@ -49,6 +49,30 @@ def traj_state(traj, t):
                     0, len(traj) - 1))
     t_rel = t - traj[i, C_T]
     return latlon_dynamics_np(traj[i], traj[i, C_DDS], traj[i, C_DL], t_rel)
+
+
+def traj_states(traj, ts):
+    """Vectorized :func:`traj_state` over a time grid ts -> (len(ts), 12)."""
+    node_ts = traj[:, C_T]
+    idx = np.clip(np.searchsorted(node_ts, ts, side="right") - 1,
+                  0, len(traj) - 1)
+    base = traj[idx]
+    t_rel = ts - base[:, C_T]
+    dds = base[:, C_DDS]
+    dl = base[:, C_DL]
+    out = base.astype(np.float64).copy()
+    out[:, C_T] = base[:, C_T] + t_rel
+    out[:, C_S] = np.maximum(
+        base[:, C_S],
+        base[:, C_S] + base[:, C_DS] * t_rel + 0.5 * dds * t_rel ** 2)
+    out[:, C_DS] = np.maximum(0.0, base[:, C_DS] + dds * t_rel)
+    out[:, C_DDS] = dds
+    out[:, C_L] = base[:, C_L] + dl * t_rel
+    out[:, C_DL] = dl
+    out[:, C_DDL] = 0.0
+    out[:, C_DDDS] = 0.0
+    out[:, C_DDDL] = 0.0
+    return out
 
 
 def traj_lerp(traj, t):
@@ -87,6 +111,7 @@ class DpLatLonPlanner(BasePlanner):
         self.trajectory_np = None
 
         self._solver = None
+        self._reeval = None
         self._solver_spec = None
 
         self.runtime_dp = 0.0
@@ -128,15 +153,20 @@ class DpLatLonPlanner(BasePlanner):
         spec = dict(t_steps=cpp.t_steps, s_steps=cpp.s_steps,
                     ds_steps=cpp.ds_steps, l_steps=cpp.l_steps)
         if self._solver is None or self._solver_spec != spec:
-            self._solver = llk.make_latlon_solver(spec)
+            self._replan_fused, self._solver, self._reeval = \
+                llk.make_latlon_replan(spec)
             self._solver_spec = spec
         return self._solver
 
-    def _host_eval(self, cpp):
+    def _reeval_traj(self, cpp, traj):
+        """Device re-evaluation of a stored trajectory: one dispatch plus
+        one (N, 12) pull; the distance grid never leaves the device."""
+        self._get_solver(cpp)
         grid = self.dp_env.cpp_env.grid
-        return HostEval(np.asarray(grid.dist_map_lon),
-                        self.dp_env.cpp_env.ref_line,
-                        self.dp_env.cpp_env.ref_step, cpp)
+        out = self._reeval(grid.dist_map_lon, grid.ref_line,
+                           jnp.float32(self.dp_env.cpp_env.ref_step),
+                           cpp.packed(), jnp.asarray(traj, jnp.float32))
+        return np.asarray(out, dtype=np.float64)
 
     # ------------------------------------------------------------------
 
@@ -160,16 +190,19 @@ class DpLatLonPlanner(BasePlanner):
         cpp.l_max = self.dp_env.cpp_env.params.l_max
 
         if replan:
-            solver = self._get_solver(cpp)
-            grid = self.dp_env.cpp_env.grid
+            self._get_solver(cpp)
+            cpp_env = self.dp_env.cpp_env
 
             x0 = np.zeros(12, dtype=np.float32)
             x0[:] = self.traj_dp[0]
 
+            # env grid build + DP solve as ONE device program; the grids
+            # come back device-resident for debug / other consumers
             start = time.perf_counter()
-            nodes, traj = solver(grid.dist_map_lon, grid.ref_line,
-                                 jnp.float32(self.dp_env.cpp_env.ref_step),
-                                 cpp.dynamic_dict(), jnp.asarray(x0))
+            inputs = cpp_env.device_inputs()
+            occ, dist_lon, traj = self._replan_fused(
+                *inputs, cpp.packed(), jnp.asarray(x0))
+            cpp_env.adopt_grid(occ, dist_lon)
             traj = np.asarray(traj, dtype=np.float64)
             self.runtime_dp = (time.perf_counter() - start) * 1000.0
 
@@ -190,7 +223,7 @@ class DpLatLonPlanner(BasePlanner):
             self.traj_smooth = self.traj_dp.copy()
             return
         ts = np.arange(resample_steps) * dt_s
-        resampled = np.stack([traj_state(self.traj_dp, t) for t in ts])
+        resampled = traj_states(self.traj_dp, ts)
 
         x_ref_s = np.zeros((resample_steps, 4))
         x_ref_s[:, 0] = resampled[:, C_S]
@@ -333,15 +366,15 @@ class DpLatLonPlanner(BasePlanner):
         self.trajectory_np = None
 
     def shift_trajectory(self, env, params):
-        """Retime by dt_update, de-shift s by ref_line_shift.
-        (dp_lat_lon_planner.py:205-229)"""
+        """Retime by dt_update. (dp_lat_lon_planner.py:205-229; the s
+        de-shift is applied separately when the env frame moves, see
+        :meth:`apply_ref_shift`)"""
         if self.traj_dp is None:
             return
 
         dt_update = env.t - self.last_update_time
 
         self.traj_dp[:, C_T] -= dt_update
-        self.traj_dp[:, C_S] -= self.dp_env.ref_line_shift
 
         keep = self.traj_dp[self.traj_dp[:, C_T] > 0.0]
         head = traj_state(self.traj_dp, 0.0)
@@ -349,25 +382,33 @@ class DpLatLonPlanner(BasePlanner):
 
         self.traj_smooth[0] = traj_lerp(self.traj_smooth, dt_update)
         self.traj_smooth[0, C_T] = 0.0
+
+    def apply_ref_shift(self):
+        """De-shift stored s-coordinates into the freshly rebuilt env
+        frame (the ref line only moves when the env grid is rebuilt)."""
+        if self.traj_dp is None:
+            return
+        self.traj_dp[:, C_S] -= self.dp_env.ref_line_shift
         self.traj_smooth[0, C_S] -= self.dp_env.ref_line_shift
 
     def check_replan(self, env, params):
-        """(dp_lat_lon_planner.py:231-290)"""
+        """Host-only replan decision; returns (replan, reset_needed).
+        The state reset itself (reset_initial_state) is deferred until
+        after the env rebuild since it projects onto the fresh ref line.
+        (dp_lat_lon_planner.py:231-290)"""
         veh = env.vehicle_state
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
 
         if self.emergency_counter > 0:
             self.state_reinit_msg = ""
-            self.reset_initial_state(veh, params)
-            return True
+            return True, True
 
         if not veh.automated:
             if env.t - self.last_replan_time >= 1.0:
                 self.emergency_counter = 0
                 self.state_reinit_msg = ""
-                self.reset_initial_state(veh, params)
-                return True
+                return True, True
 
         reset_required = self.reset_counter != env.reset_counter
         self.reset_counter = env.reset_counter
@@ -375,8 +416,7 @@ class DpLatLonPlanner(BasePlanner):
         if self.traj_dp is None or reset_required:
             self.emergency_counter = 0
             self.state_reinit_msg = ""
-            self.reset_initial_state(veh, params)
-            return True
+            return True, True
 
         x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
         y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
@@ -387,22 +427,21 @@ class DpLatLonPlanner(BasePlanner):
             if abs(d_traj) > params.d_reinit:
                 self.state_reinit_msg = \
                     "Warning: Planner reinit, distance to trajectory too high"
-                self.reset_initial_state(veh, params)
-                return True
+                return True, True
 
         if len(self.traj_dp) < params.cpp.t_steps:
-            return True
+            return True, False
 
         if env.t - self.last_replan_time > params.replan_time_step:
-            return True
+            return True, False
 
-        # re-evaluate stored trajectory against the fresh environment
-        he = self._host_eval(params.cpp)
-        self.traj_dp = he.reeval(self.traj_dp)
+        # stored-trajectory validity is refreshed against the rebuilt
+        # environment on every replan pass (reevalTraj before the warm
+        # start in update()); between replans the check is host-only
         if not self.is_traj_valid(self.traj_dp):
-            return True
+            return True, False
 
-        return False
+        return False, False
 
     def write_debug_data(self, t, params, veh):
         with self.lock_shared():
@@ -444,11 +483,37 @@ class DpLatLonPlanner(BasePlanner):
             self.last_update_time = 0.0
 
         if update_needed:
-            self.dp_env.update(env)
-
             self.shift_trajectory(env, params)
-            replan = self.check_replan(env, params)
+            replan, reset_needed = self.check_replan(env, params)
+
+            # Device work (env grid build, trajectory re-evaluation, DP
+            # solve) is concentrated on replan passes; in-between passes
+            # are pure host stitching.  The reference re-evaluates every
+            # loop pass, but its planner loop rate IS its GPU compute
+            # rate (~ms); over a tunneled accelerator every device sync
+            # costs a full round trip, so the effective loop rate of the
+            # device pipeline is the replan rate (worst-case reaction
+            # delay to a newly-invalid trajectory is replan_time_step in
+            # both designs).
+            # No reevalTraj between replans: on a replan pass the solve
+            # itself re-derives costs/validity against the fresh env, and
+            # x0 only consumes the (unchanged) state channels — a separate
+            # reeval would cost one extra device round trip for values the
+            # solve immediately overwrites.
+            if replan:
+                # host prep only; the grid build fuses into the solve
+                # program inside update_planner (one dispatch per replan)
+                self.dp_env.update(env, defer_device=True)
+                self.apply_ref_shift()
+                if reset_needed:
+                    self.reset_initial_state(env.vehicle_state, params)
+            elif params.update_always:
+                self.dp_env.update(env)
+                self.apply_ref_shift()
+
             self.update_planner(env, params, replan)
+            if replan:
+                self.dp_env.finish_deferred_update()
             self.update_trajectory(env, params)
 
             self.last_update_time = env.t

@@ -100,14 +100,29 @@ class LatLonParams:
         return (self.l_max - self.l_min) / (self.l_steps - 1)
 
     def dynamic_dict(self):
-        keys = ("s_min", "s_max", "ds_min", "ds_max", "l_min", "l_max",
-                "dds_min", "dds_max", "dl_min", "dl_max", "dt", "dt_start",
-                "l_trg", "w_progress", "w_dds", "w_ddds", "w_l", "w_dl",
-                "w_ddl", "w_safety_dist", "w_xing_slow", "slope_abs_max",
-                "w_lat_dist", "d_lat_comf", "time_gap", "gap_min",
-                "t_st_min", "t_st_max", "s_st", "w_spatio_temporal",
-                "width_veh", "length_veh")
-        return {k: jnp.float32(getattr(self, k)) for k in keys}
+        return {k: jnp.float32(getattr(self, k)) for k in PP_KEYS}
+
+    def packed(self):
+        """All dynamic params as ONE f32 vector: a single host->device
+        transfer per call instead of one per scalar leaf (each jitted-arg
+        leaf is its own transfer — dominant on a tunneled TPU)."""
+        return np.array([getattr(self, k) for k in PP_KEYS],
+                        dtype=np.float32)
+
+
+PP_KEYS = ("s_min", "s_max", "ds_min", "ds_max", "l_min", "l_max",
+           "dds_min", "dds_max", "dl_min", "dl_max", "dt", "dt_start",
+           "l_trg", "w_progress", "w_dds", "w_ddds", "w_l", "w_dl",
+           "w_ddl", "w_safety_dist", "w_xing_slow", "slope_abs_max",
+           "w_lat_dist", "d_lat_comf", "time_gap", "gap_min",
+           "t_st_min", "t_st_max", "s_st", "w_spatio_temporal",
+           "width_veh", "length_veh")
+
+
+def unpack_pp(vec):
+    """Expand a packed param vector back into the kernels' dict form
+    (traced, inside jit)."""
+    return {k: vec[i] for i, k in enumerate(PP_KEYS)}
 
 
 def latlon_dynamics_np(state, dds, dl, dt):
@@ -289,24 +304,38 @@ def make_latlon_solver(spec):
                     - pp["gap_min"]
                     - dss[None, :, None, None] * pp["time_gap"])
 
-        # next state indices
+        # Next-state value lookup.  The lookup indices are STRUCTURED:
+        # s_change doesn't depend on s and dl*dt doesn't depend on l, so
+        # the s- and l-lookups are uniform edge-clamped SHIFTS per action
+        # (round(s + x) == s + round(x) for integer s, incl. half-even
+        # ties) and only ds maps to an arbitrary target row.  Expressing
+        # the lookup as take-along-shifted-rows instead of one flat
+        # 30M-element random gather keeps the moves contiguous — ~20x
+        # faster than the naive gather on both TPU and CPU backends.
         s_change = jnp.maximum(
             0.0, dss[:, None] * dt + 0.5 * dds_s[None, :] * dt * dt)  # (DS,NB)
-        sn = ss[:, None, None] + s_change[None, :, :]            # (S, DS, NBdds)
-        is_ = jnp.clip(jnp.round((sn - pp["s_min"]) / s_step),
-                       0, S - 1).astype(jnp.int32)
+        shift_s = jnp.round(s_change / s_step).astype(jnp.int32)  # (DS, NB)
         dsn = jnp.maximum(0.0, dss[:, None] + dds_s[None, :] * dt)
         ids_ = jnp.clip(jnp.round((dsn - pp["ds_min"]) / ds_step),
                         0, DS - 1).astype(jnp.int32)             # (DS, NBdds)
-        ln = lls[:, None] + dl_s[None, :] * dt
-        il_ = jnp.clip(jnp.round((ln - pp["l_min"]) / l_step),
-                       0, L - 1).astype(jnp.int32)               # (L, NBdl)
+        shift_l = jnp.round(dl_s * dt / l_step).astype(jnp.int32)  # (NBdl,)
 
-        lin = ((is_[:, :, None, :, None] * DS
-                + ids_[None, :, None, :, None]) * L
-               + il_[None, None, :, None, :])                    # (S,DS,L,NB,NB)
-        nn = jnp.take(nodes_next.reshape(-1, 4), lin.reshape(-1),
-                      axis=0).reshape(S, DS, L, NB, NB, 4)
+        P = DS * NB
+        j_vec = ids_.reshape(P)
+        k_vec = shift_s.reshape(P)
+        # target-ds row per (ds, dds) pair, then clamped s shift
+        C = jnp.moveaxis(jnp.take(nodes_next, j_vec, axis=1),
+                         1, 0)                                   # (P, S, L, 4)
+        idx_s = jnp.clip(jnp.arange(S, dtype=jnp.int32)[None, :]
+                         + k_vec[:, None], 0, S - 1)             # (P, S)
+        D = jnp.take_along_axis(C, idx_s[:, :, None, None], axis=1)
+        # clamped l shift per dl action
+        idx_l = jnp.clip(jnp.arange(L, dtype=jnp.int32)[None, :]
+                         + shift_l[:, None], 0, L - 1)           # (NBdl, L)
+        E = jnp.take(D, idx_l.reshape(-1), axis=2
+                     ).reshape(P, S, NB, L, 4)
+        nn = jnp.transpose(E.reshape(DS, NB, S, NB, L, 4),
+                           (2, 0, 4, 1, 3, 5))                   # (S,DS,L,a,b,.)
 
         cost_next = nn[..., 0]
         constr_next = nn[..., 1]
@@ -577,6 +606,9 @@ def make_latlon_solver(spec):
     @jax.jit
     def solve(dist_map_lon, ref_line, ref_step, pp, x0):
         # the whole solve runs in f32; inputs may arrive as f64 under x64
+        if not isinstance(pp, dict):
+            pp = unpack_pp(pp)
+
         def _f32(v):
             v = jnp.asarray(v)
             return v.astype(jnp.float32) if jnp.issubdtype(
@@ -615,7 +647,136 @@ def make_latlon_solver(spec):
         _, traj = jax.lax.scan(fwd, x0.astype(jnp.float32), jnp.arange(T))
         return nodes, traj
 
-    return solve
+    @jax.jit
+    def reeval(dist_map_lon, ref_line, ref_step, pp, traj):
+        """Re-evaluate a stored trajectory against a fresh environment,
+        entirely on device (device twin of HostEval.reeval; reference:
+        lat_lon_planner.cu:358-402 reevalTraj).  Keeps the per-tick replan
+        check to one small dispatch + one (N, 12) pull instead of pulling
+        the whole distance grid to the host."""
+        if not isinstance(pp, dict):
+            pp = unpack_pp(pp)
+
+        def _f32(v):
+            v = jnp.asarray(v)
+            return v.astype(jnp.float32) if jnp.issubdtype(
+                v.dtype, jnp.floating) else v
+        pp = {k: _f32(v) for k, v in pp.items()}
+        dist_x = _f32(dist_map_lon)[..., 0]
+        ref_line = _f32(ref_line)
+        ref_step = _f32(ref_step)
+        traj = _f32(traj)
+
+        _, _, _, s_step, ds_step, l_step = grids(pp)
+        N = traj.shape[0]
+        t = traj[:, C_T]
+        s = traj[:, C_S]
+        ds = traj[:, C_DS]
+        l = traj[:, C_L]
+        dl = traj[:, C_DL]
+        dds = traj[:, C_DDS]
+
+        last = jnp.arange(N) == N - 1
+        dt = jnp.where(last, 0.0, jnp.roll(t, -1) - t)
+
+        t_idx = jnp.where(t < pp["dt_start"], 0,
+                          jnp.round((t - pp["dt_start"]) / pp["dt"]) + 1.0
+                          ).astype(jnp.int32)
+        t_idx = jnp.clip(t_idx, 0, T - 1)
+        s_idx = jnp.clip(jnp.round((s - pp["s_min"]) / s_step),
+                         0, S - 1).astype(jnp.int32)
+        rl_rows = _ref_tex(ref_line, ref_step, s)                 # (N, 8)
+
+        mean_dist = jnp.maximum(pp["length_veh"] * 0.5, ds * dt)
+
+        def per_node(tp, D_t, s_i, rl_row, md):
+            mid = get_mid_single(D_t, s_i, tp[C_L], md, pp, l_step)
+            return eval_state_single(tp, D_t, rl_row, mid, pp)
+
+        st_cost, st_constr, st_flags = jax.vmap(per_node)(
+            traj, dist_x[t_idx], s_idx, rl_rows, mean_dist)
+
+        # lateral sweep toward l + dt * dl (HostEval.reeval)
+        l_dist = dl * dt
+        steps = jnp.ceil(jnp.abs(l_dist) / l_step)
+        n_sweep = jnp.maximum(steps, 1.0)
+        step_size = jnp.where(steps > 0, l_dist / jnp.maximum(steps, 1.0),
+                              0.0)
+        ks = jnp.arange(L, dtype=f32)                             # (L,)
+        l_k = l[:, None] + ks[None, :] * step_size[:, None]       # (N, L)
+        il_k = jnp.clip(jnp.round((l_k - pp["l_min"]) / l_step),
+                        0, L - 1).astype(jnp.int32)
+        d_k = dist_x[t_idx[:, None], s_idx[:, None], il_k]        # (N, L)
+        d_k = jnp.where(ks[None, :] < n_sweep[:, None], d_k, jnp.inf)
+        d_fwd = jnp.min(d_k, axis=1) - pp["length_veh"] * 0.5
+        d_safety = d_fwd - pp["gap_min"] - ds * pp["time_gap"]
+
+        # pairwise terms vs the next node (zeroed on the last node)
+        s_change = jnp.roll(s, -1) - s
+        l_change = jnp.roll(l, -1) - l
+        slope = jnp.abs(l_change / s_change)
+        angle_viol = jnp.isfinite(slope) & (slope > pp["slope_abs_max"]) \
+            & ~last
+        constr = st_constr
+        constr += jnp.where(angle_viol,
+                            jnp.abs(slope - pp["slope_abs_max"]) * 1000.0,
+                            0.0)
+        occ_viol = (s_change > d_fwd) & ~last
+        constr += jnp.where(occ_viol, s_change - d_fwd, 0.0)
+
+        cost = st_cost
+        cost += jnp.where(last, 0.0, pp["w_safety_dist"]
+                          * jnp.maximum(0.0, s_change - d_safety))
+        ddds = jnp.roll(dds, -1) - dds
+        ddl = jnp.roll(dl, -1) - dl
+        pair_cost = (pp["w_dds"] * (dds * dt) ** 2
+                     + pp["w_ddds"] * ddds ** 2
+                     + pp["w_dl"] * (dl * dt) ** 2
+                     + pp["w_ddl"] * ddl ** 2)
+        cost += jnp.where(last, 0.0, pair_cost)
+
+        flags = (st_flags
+                 | jnp.where(angle_viol, CONSTR_ANGLE, 0)
+                 | jnp.where(occ_viol, CONSTR_OCCUPANCY, 0))
+
+        traj = traj.at[:, C_COST].set(cost)
+        traj = traj.at[:, C_CONSTR].set(constr)
+        traj = traj.at[:, C_FLAGS].set(flags.astype(f32))
+        return traj
+
+    return solve, reeval
+
+
+def make_latlon_replan(spec):
+    """Env-build + DP solve chained with NO host sync in between.
+
+    Both stages are separate jitted programs; the env grids stay
+    device-resident and feed the solve directly, so a replan pass costs
+    asynchronous dispatches plus exactly one small trajectory pull.
+    (Compiling both stages into one XLA program faults the TPU runtime —
+    observed consistently on v5e, with or without an optimization
+    barrier between the stages — so they deliberately stay two
+    executables; the extra dispatch is async and costs only its RPC
+    enqueue.)
+
+    Returns (replan, solve, reeval); replan(*env_inputs, ppv, x0) ->
+    (occ_map, dist_map_lon, traj) with env_inputs from
+    DpEnvironment.device_inputs().
+    """
+    from tpl_tpu.planning.dyn_prog import dp_environment as dpe
+
+    solve, reeval = make_latlon_solver(spec)
+    T, S, L = spec["t_steps"], spec["s_steps"], spec["l_steps"]
+
+    def replan(ref_line, ref_step, quads, tbit, stat, valid, dilation,
+               s_min, s_step, l_min, l_step, ppv, x0):
+        occ, dist_lon = dpe._build_grids(
+            ref_line, ref_step, quads, tbit, stat, valid, dilation,
+            s_min, s_step, l_min, l_step, T, S, L)
+        _, traj = solve(dist_lon, ref_line, ref_step, ppv, x0)
+        return occ, dist_lon, traj
+
+    return replan, solve, reeval
 
 
 # ---------------------------------------------------------------------

@@ -34,6 +34,14 @@ def run(args):
         ss.settings.reload_if_finished = False
         ss.rule_checker.enable = True
 
+    if args.planner:
+        if args.planner not in sim.planning_app.planners:
+            raise SystemExit(
+                f"unknown planner {args.planner!r}; available: "
+                f"{sorted(sim.planning_app.planners)}")
+        with sim.planning_app.sh_planners.lock():
+            sim.planning_app.sh_planners.active_planner = args.planner
+
     t_start = time.time()
     ticks = 0
     planner_runtimes = []
@@ -113,6 +121,8 @@ def main():
 
     p_run = sub.add_parser("run")
     p_run.add_argument("--scenario", default="default")
+    p_run.add_argument("--planner", default=None,
+                       help="active planner name (e.g. dp_lat_lon_planner)")
     p_run.add_argument("--app-id", default="tplsim")
     p_run.add_argument("--headless", action="store_true")
     p_run.add_argument("--cpu", action="store_true")
