@@ -74,11 +74,25 @@ class LonParams:
         return (self.a_max - self.a_min) / (self.a_steps - 1)
 
     def dynamic_dict(self):
-        keys = ("s_min", "s_max", "v_min", "v_max", "a_min", "a_max",
-                "j_min", "j_max", "dt_start", "dt", "time_gap", "gap_min",
-                "w_progress", "w_a", "w_j", "w_snap", "w_safety_dist",
-                "path_step_size", "width_veh", "length_veh")
-        return {k: jnp.float32(getattr(self, k)) for k in keys}
+        return {k: jnp.float32(getattr(self, k)) for k in LON_PP_KEYS}
+
+    def packed(self):
+        """All dynamic params as ONE f32 vector: a single host->device
+        transfer per call instead of one per scalar leaf."""
+        return np.array([getattr(self, k) for k in LON_PP_KEYS],
+                        dtype=np.float32)
+
+
+LON_PP_KEYS = ("s_min", "s_max", "v_min", "v_max", "a_min", "a_max",
+               "j_min", "j_max", "dt_start", "dt", "time_gap", "gap_min",
+               "w_progress", "w_a", "w_j", "w_snap", "w_safety_dist",
+               "path_step_size", "width_veh", "length_veh")
+
+
+def unpack_lon_pp(vec):
+    """Expand a packed param vector back into the kernels' dict form
+    (traced, inside jit)."""
+    return {k: vec[i] for i, k in enumerate(LON_PP_KEYS)}
 
 
 def lon_dynamics_np(state, j, dt):
@@ -102,6 +116,27 @@ def lon_traj_state(traj, t):
                     0, len(traj) - 1))
     t_rel = t - traj[i, LC_T]
     return lon_dynamics_np(traj[i], traj[i, LC_J], t_rel)
+
+
+def lon_traj_states(traj, ts):
+    """Vectorized :func:`lon_traj_state` over a time grid ts -> (N, 7)."""
+    node_ts = traj[:, LC_T]
+    idx = np.clip(np.searchsorted(node_ts, ts, side="right") - 1,
+                  0, len(traj) - 1)
+    base = traj[idx].astype(np.float64)
+    t_rel = ts - base[:, LC_T]
+    j = base[:, LC_J]
+    out = base.copy()
+    out[:, LC_T] = base[:, LC_T] + t_rel
+    out[:, LC_S] = np.maximum(
+        base[:, LC_S],
+        base[:, LC_S] + base[:, LC_V] * t_rel
+        + 0.5 * base[:, LC_A] * t_rel ** 2 + j * t_rel ** 3 / 6.0)
+    out[:, LC_V] = np.maximum(
+        0.0, base[:, LC_V] + base[:, LC_A] * t_rel + 0.5 * j * t_rel ** 2)
+    out[:, LC_A] = base[:, LC_A] + j * t_rel
+    out[:, LC_J] = j
+    return out
 
 
 def make_lon_solver(spec):
@@ -278,7 +313,10 @@ def make_lon_solver(spec):
 
     @jax.jit
     def solve(dist_path, path, pp, x0):
-        """dist_path: (T, S); path: (P, 7); x0: (7,) lon state."""
+        """dist_path: (T, S); path: (P, 7); x0: (7,) lon state.
+        pp: param dict or packed f32 vector (LonParams.packed())."""
+        if not isinstance(pp, dict):
+            pp = unpack_lon_pp(pp)
         # backward
         def make_node(i, carry):
             t = pp["dt_start"] + (i.astype(f32) - 1.0) * pp["dt"]
@@ -333,6 +371,9 @@ def make_lon_solver(spec):
     @jax.jit
     def reeval(dist_path, path, pp, traj, nodes):
         """Re-evaluate a stored trajectory (lonReevalNode)."""
+        if not isinstance(pp, dict):
+            pp = unpack_lon_pp(pp)
+
         def body(carry, inp):
             i, tp = inp
             dt_i = jnp.where(i == 0, pp["dt_start"], pp["dt"])

@@ -147,8 +147,17 @@ class PolyLatDpLonPlanner(BasePlanner):
     # ------------------------------------------------------------------
 
     def update_planner(self, env, params):
-        """(poly_lat_dp_lon_planner.py:133-184)"""
+        """(poly_lat_dp_lon_planner.py:133-184)
+
+        One replan pass = two device round trips: grid build + poly-lat
+        sweep chain asynchronously (the only sync is the tiny candidate
+        cost/collision pull inside poly_lat.update), then dist-map-path +
+        lon DP solve chain with one trajectory pull at the end."""
         start = time.perf_counter()
+
+        # deferred env grid build (dp_env.update(..., defer_device=True));
+        # dispatches async and feeds the poly-lat kernel device-resident
+        self.dp_env.cpp_env.update()
 
         self.poly_lat.reinit_buffers(params.cpp_lat)
         new_traj_lat = self.poly_lat.update(self.poly_lat_start,
@@ -195,7 +204,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
 
         nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
-                             cpp_lon.dynamic_dict(),
+                             cpp_lon.packed(),
                              jnp.asarray(self.dp_lon_start, jnp.float32))
         self._lon_nodes = nodes
         self.traj_lon = np.asarray(traj, dtype=np.float64)
@@ -208,7 +217,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         cpp_lon = params.cpp_lon
         ts = np.arange(0.0, (cpp_lon.t_steps - 1) * cpp_lon.dt, 0.1)
 
-        lon_states = np.stack([lon_traj_state(self.traj_lon, t) for t in ts])
+        lon_states = lk.lon_traj_states(self.traj_lon, ts)
         lat_states = self.traj_lat.lerp(lon_states[:, LC_S])
 
         traj_np = np.zeros((len(ts), 8))
@@ -223,12 +232,10 @@ class PolyLatDpLonPlanner(BasePlanner):
 
         ts_dead = np.arange(env.t, env.t + params.dead_time, 0.1)
         if len(ts_dead) > 0 and self.trajectory_np is not None:
-            dead = np.stack([
-                lerp_xs(t, self.trajectory_np[:, 0], self.trajectory_np)
-                for t in ts_dead])
-            for i, t in enumerate(ts_dead):
-                dead[i, 6] = lerp_xs(t, self.trajectory_np[:, 0],
-                                     self.trajectory_np[:, 6], angle=True)
+            dead = lerp_xs(ts_dead, self.trajectory_np[:, 0],
+                           self.trajectory_np)
+            dead[:, 6] = lerp_xs(ts_dead, self.trajectory_np[:, 0],
+                                 self.trajectory_np[:, 6], angle=True)
             traj_np = np.concatenate((dead, traj_np), axis=0)
 
         if not self.is_traj_valid(self.traj_lon):
@@ -325,16 +332,19 @@ class PolyLatDpLonPlanner(BasePlanner):
             params.cpp_lon.a_min, self.dp_lon_start[LC_A]))
 
     def check_replan(self, env, params):
-        """(poly_lat_dp_lon_planner.py:332-392)"""
+        """Host-only replan decision; returns (replan, reset_needed).
+        The state reset itself (reset_initial_state) is deferred until
+        after the env rebuild since it projects onto the fresh ref line.
+        (poly_lat_dp_lon_planner.py:332-392)"""
         veh = env.vehicle_state
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
 
         if not veh.automated:
+            # the reference resets every pass while a driver is in
+            # control, which empties traj_lon and forces a replan
             self.state_reinit_msg = ""
-            self.reset_initial_state(env, params)
-            if env.t - self.last_replan_time >= 1.0:
-                return True
+            return True, True
 
         reset_required = self.reset_counter != env.reset_counter
         self.reset_counter = env.reset_counter
@@ -342,8 +352,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         if (self.traj_lon is None or reset_required
                 or self.trajectory.emergency):
             self.state_reinit_msg = ""
-            self.reset_initial_state(env, params)
-            return True
+            return True, True
 
         x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
         y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
@@ -353,32 +362,21 @@ class PolyLatDpLonPlanner(BasePlanner):
             if abs(d_traj) > params.d_reinit:
                 self.state_reinit_msg = ("Warning: Planner reinit, "
                                          "distance to trajectory too high")
-                self.reset_initial_state(env, params)
-                return True
+                return True, True
 
         if len(self.traj_lon) < params.cpp_lon.t_steps:
-            return True
+            return True, False
 
         if env.t - self.last_replan_time > params.replan_time_step:
-            return True
+            return True, False
 
-        # re-evaluate against the fresh environment
-        if self._lon_nodes is not None and self.path is not None:
-            _, reeval = self._get_lon(params.cpp_lon)
-            dist_path = self.dp_env.cpp_env.update_dist_map_path(
-                self._path_dist_sl(params.cpp_lon))
-            dev_path = self.path.copy()
-            dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
-            dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
-            traj = reeval(dist_path, jnp.asarray(dev_path, jnp.float32),
-                          params.cpp_lon.dynamic_dict(),
-                          jnp.asarray(self.traj_lon, jnp.float32),
-                          self._lon_nodes)
-            self.traj_lon = np.asarray(traj, dtype=np.float64)
-            if not self.is_traj_valid(self.traj_lon):
-                return True
+        # stored-trajectory validity is refreshed on every replan pass
+        # (the lon solve re-derives costs/validity against the fresh
+        # env); between replans the check is host-only -- see update()
+        if not self.is_traj_valid(self.traj_lon):
+            return True, False
 
-        return False
+        return False, False
 
     def write_debug_data(self, t, params, veh):
         if not params.write_debug_data:
@@ -421,11 +419,24 @@ class PolyLatDpLonPlanner(BasePlanner):
             self.last_update_time = 0.0
 
         if update_needed:
-            self.dp_env.update(env)
-
             self.shift_trajectory(env, params)
-            if self.check_replan(env, params):
+            replan, reset_needed = self.check_replan(env, params)
+
+            # Device work (env grid build, poly-lat sweep, lon DP solve)
+            # is concentrated on replan passes; in-between passes are pure
+            # host stitching.  Over a tunneled accelerator every device
+            # sync costs a full round trip, so the effective loop rate of
+            # the device pipeline is the replan rate (worst-case reaction
+            # delay to a newly-invalid trajectory is replan_time_step in
+            # both designs, see dp_lat_lon_planner.py).
+            if replan:
+                self.dp_env.update(env, defer_device=True)
+                if reset_needed:
+                    self.reset_initial_state(env, params)
                 self.update_planner(env, params)
+                self.dp_env.finish_deferred_update()
+            elif params.update_always:
+                self.dp_env.update(env)
             self.update_trajectory(env, params)
 
             self.last_update_time = env.t

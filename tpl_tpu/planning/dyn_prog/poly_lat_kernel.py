@@ -59,11 +59,27 @@ class PolyLatParams:
         self.length_veh = 2.0
 
     def dynamic_dict(self):
-        keys = ("l_min", "l_max", "s_min", "s_max", "l_dst_min", "l_dst_max",
-                "s_dst_min", "s_dst_max", "l_trg", "w_l", "w_k", "w_dl",
-                "w_ddl", "w_dddl", "w_right", "w_len", "k_abs_max",
-                "a_lat_abs_max", "width_veh", "length_veh")
-        return {k: jnp.float32(getattr(self, k)) for k in keys}
+        return {k: jnp.float32(getattr(self, k)) for k in PL_PP_KEYS}
+
+    def packed(self):
+        """All dynamic params as ONE f32 vector: a single host->device
+        transfer per call instead of one per scalar leaf."""
+        return np.array([getattr(self, k) for k in PL_PP_KEYS],
+                        dtype=np.float32)
+
+
+PL_PP_KEYS = ("l_min", "l_max", "s_min", "s_max", "l_dst_min", "l_dst_max",
+              "s_dst_min", "s_dst_max", "l_trg", "w_l", "w_k", "w_dl",
+              "w_ddl", "w_dddl", "w_right", "w_len", "k_abs_max",
+              "a_lat_abs_max", "width_veh", "length_veh")
+
+ENV_PP_KEYS = ("dt_start", "dt", "s_min", "s_max", "l_min", "l_max")
+
+
+def pack_env_pp(env_params):
+    """DpEnvironment params -> packed f32 vector for occupancy lookups."""
+    return np.array([getattr(env_params, k) for k in ENV_PP_KEYS],
+                    dtype=np.float32)
 
 
 def make_poly_lat_kernel(spec):
@@ -104,7 +120,12 @@ def make_poly_lat_kernel(spec):
     @jax.jit
     def evaluate(occ_map, ref_line, ref_step, pp, env_pp, start):
         """start: [l, dl, ddl, s, v]. Returns per-candidate
-        (collision_dist, traj_cost) arrays (LD, SD)."""
+        (collision_dist, traj_cost) arrays (LD, SD). pp / env_pp: dicts or
+        packed f32 vectors (PolyLatParams.packed() / pack_env_pp())."""
+        if not isinstance(pp, dict):
+            pp = {k: pp[i] for i, k in enumerate(PL_PP_KEYS)}
+        if not isinstance(env_pp, dict):
+            env_pp = {k: env_pp[i] for i, k in enumerate(ENV_PP_KEYS)}
         l0, dl0, ddl0, s0, v0 = (start[0], start[1], start[2], start[3],
                                  start[4])
 
@@ -317,18 +338,13 @@ class PolyLatPlannerJax:
         Returns PolyLatTraj."""
         p = self.params
         kernel = self._get_kernel(env)
-        ep = env.params
-        env_pp = {
-            "dt_start": jnp.float32(ep.dt_start), "dt": jnp.float32(ep.dt),
-            "s_min": jnp.float32(ep.s_min), "s_max": jnp.float32(ep.s_max),
-            "l_min": jnp.float32(ep.l_min), "l_max": jnp.float32(ep.l_max)}
 
         start_vec = jnp.asarray([start["l"], start["dl"], start["ddl"],
                                  start["s"], start["v"]], jnp.float32)
 
         cd, tc = kernel(env.grid.occ_map, env.grid.ref_line,
-                        jnp.float32(env.ref_step), p.dynamic_dict(), env_pp,
-                        start_vec)
+                        jnp.float32(env.ref_step), p.packed(),
+                        pack_env_pp(env.params), start_vec)
         il, isd = select_path(cd, tc, p.length_veh, p.l_dst_steps,
                               p.s_dst_steps)
 
