@@ -1,0 +1,141 @@
+"""
+Scaling-efficiency bench: batched MPC solves sharded over a device mesh.
+
+Measures weak scaling (fixed per-device batch) of the lanes-batched
+AL-iLQR tracking-MPC solve over a 1-D "dp" scenario mesh at increasing
+device counts, and reports efficiency(N) = tput(N) / (N * tput(1)).
+This is the BASELINE.md "≥80% scaling efficiency" measurement; the
+workload is embarrassingly parallel over scenarios, so efficiency loss
+comes only from dispatch overhead and any collectives XLA inserts.
+
+Configs (BASELINE.md):
+  1 chip:    python3 tools/bench_scaling.py
+  1 host:    python3 tools/bench_scaling.py            (uses all local chips)
+  N hosts:   run on every host with
+             python3 tools/bench_scaling.py --coordinator HOST0:1234 \
+                 --num-processes N --process-id I
+Demo without TPU hardware (8 virtual devices, structure only -- the
+devices share physical cores, so efficiency numbers are not meaningful):
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python3 tools/bench_scaling.py
+
+Prints one JSON line:
+  {"devices": [...], "solves_per_s": [...], "efficiency": [...], ...}
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+# the axon plugin registers itself over a plain JAX_PLATFORMS env request;
+# re-assert an explicit platform choice (e.g. cpu + virtual mesh demo)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_one(n_dev, per_dev_batch, horizon, iters, max_iterations):
+    import __graft_entry__ as ge
+    from jax import shard_map
+    from tpl_tpu.optim import batched, problems, ilqr
+    from tpl_tpu.parallel import scenario_mesh
+
+    B = n_dev * per_dev_batch
+    mesh = scenario_mesh(n_dev)
+
+    update, state, x0, params, cfg = ge._mpc_setup(
+        horizon=horizon, max_iterations=max_iterations)
+    prob, _spec = problems.trajectory_tracking_mpc(ref_capacity=128)
+    # per-device solver over the LOCAL batch, mapped over the mesh:
+    # scenarios are independent, so shard_map guarantees a collective-free
+    # program (auto-sharding of the while_loop inserts all-gathers)
+    lupdate = batched.make_batched_update_fn(
+        prob, horizon, per_dev_batch, integrator=ilqr.HEUN, jit=False)
+
+    lastP = lambda nd: P(*([None] * (nd - 1) + ["dp"]))
+    in_specs = (lastP(3), lastP(3), lastP(3), P("dp"), lastP(2))
+    out_specs = (lastP(3), lastP(3), lastP(3), P("dp"), P("dp"))
+    solve = jax.jit(shard_map(
+        lambda x, u, lam, mu, x0_: lupdate(x, u, lam, mu, x0_, params, cfg),
+        mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False))
+
+    # lanes layout: batch in the LAST dim, sharded over the dp axis
+    def shard_last(a):
+        return jax.device_put(a, NamedSharding(mesh, lastP(a.ndim)))
+
+    bx0 = (jnp.broadcast_to(x0, (B,) + x0.shape)
+           + 0.01 * jnp.arange(B, dtype=x0.dtype)[:, None])
+    xl = shard_last(jnp.broadcast_to(
+        state.x[:, :, None], state.x.shape + (B,)))
+    ul = shard_last(jnp.broadcast_to(
+        state.u[:, :, None], state.u.shape + (B,)))
+    laml = shard_last(jnp.broadcast_to(
+        state.lam[:, :, None], state.lam.shape + (B,)))
+    mus = shard_last(jnp.zeros((B,), jnp.int32))
+    x0l = shard_last(bx0.T)
+
+    out = solve(xl, ul, laml, mus, x0l)
+    jax.block_until_ready(out[0])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve(xl, ul, laml, mus, x0l)
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    return B * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device-batch", type=int, default=512)
+    ap.add_argument("--horizon", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--max-iterations", type=int, default=8)
+    ap.add_argument("--devices", type=int, nargs="*", default=None,
+                    help="device counts to sweep (default: 1,2,4,..,all)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port for multi-host jax.distributed")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    args = ap.parse_args()
+
+    from tpl_tpu.parallel import init_distributed
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    n_all = len(jax.devices())
+    counts = args.devices
+    if not counts:
+        counts = [n for n in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                  if n <= n_all]
+        if counts[-1] != n_all:
+            counts.append(n_all)
+
+    tputs = [bench_one(n, args.per_device_batch, args.horizon,
+                       args.iters, args.max_iterations) for n in counts]
+    base = tputs[0] / counts[0]
+    result = {
+        "metric": "mpc_scaling_efficiency",
+        "devices": counts,
+        "per_device_batch": args.per_device_batch,
+        "solves_per_s": [round(t, 1) for t in tputs],
+        "efficiency": [round(t / (n * base), 3)
+                       for n, t in zip(counts, tputs)],
+        "platform": jax.devices()[0].platform,
+        "n_processes": jax.process_count(),
+    }
+    if jax.process_index() == 0:
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
