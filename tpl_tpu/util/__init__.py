@@ -299,6 +299,11 @@ def _decode_node(node, extern_dir):
         if cls == "__extern__":
             p = os.path.join(extern_dir, node["path"] + ".npy")
             return np.load(p)
+        if cls == "numpy.ndarray":
+            # inline ndarray encoding (objtoolbox writes small arrays as
+            # {"__class__": "numpy.ndarray", "dtype", "data"})
+            return np.asarray(node.get("data", []),
+                              dtype=node.get("dtype", "float64"))
         out = {}
         for k, v in node.items():
             if k == "__class__":
