@@ -144,10 +144,16 @@ def make_lon_solver(spec):
     T = spec["t_steps"]
     S = spec["s_steps"]
     V = spec["v_steps"]
-    A = spec["a_steps"]
+    AL = spec["a_steps"]          # logical a-grid size (coordinate mapping)
     P = spec["path_steps"]
     NB = 9
     NF = 21
+
+    # Pad the a-axis to a multiple of 8: certain raw sizes (19, 20) hit an
+    # XLA:TPU codegen fault in the trilinear value-gather, and multiples of
+    # 8 tile cleanly onto the vector unit anyway. Padded levels sit above
+    # a_max and are never addressed: trilerp clamps its z index to AL - 1.
+    A = AL if AL % 8 == 0 else AL + (8 - AL % 8)
 
     f32 = jnp.float32
 
@@ -171,13 +177,13 @@ def make_lon_solver(spec):
         y = jnp.clip((v - pp["v_min"]) / (pp["v_max"] - pp["v_min"])
                      * (V - 1), 0.0, V - 1.0)
         z = jnp.clip((a - pp["a_min"]) / (pp["a_max"] - pp["a_min"])
-                     * (A - 1), 0.0, A - 1.0)
+                     * (AL - 1), 0.0, AL - 1.0)
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
         z0 = jnp.floor(z).astype(jnp.int32)
         x1 = jnp.minimum(x0 + 1, S - 1)
         y1 = jnp.minimum(y0 + 1, V - 1)
-        z1 = jnp.minimum(z0 + 1, A - 1)
+        z1 = jnp.minimum(z0 + 1, AL - 1)
         ax = (x - x0)[..., None]
         ay = (y - y0)[..., None]
         az = (z - z0)[..., None]
@@ -195,8 +201,9 @@ def make_lon_solver(spec):
             * (pp["s_max"] - pp["s_min"]) / (S - 1)
         vs = pp["v_min"] + jnp.arange(V, dtype=f32) \
             * (pp["v_max"] - pp["v_min"]) / (V - 1)
+        # logical step spacing; padded levels (i >= AL) land above a_max
         aas = pp["a_min"] + jnp.arange(A, dtype=f32) \
-            * (pp["a_max"] - pp["a_min"]) / (A - 1)
+            * (pp["a_max"] - pp["a_min"]) / (AL - 1)
 
         cps = interp_path(path, ss, pp)                       # (S, 7)
         v_max_s = cps[:, PC_VMAX]                             # (S,)
