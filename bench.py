@@ -49,11 +49,11 @@ def bench_batched_mpc(batch=2048, iters=10, horizon=60, max_iterations=8):
     (tpl_tpu/optim/batched.py: batch in the TPU lane dimension — ~28%
     faster than vmap over the per-instance engine on v5e)."""
     import __graft_entry__ as ge
-    from tpl_tpu.optim import batched, problems, ilqr
+    from tpl_tpu.optim import batched, ilqr
 
     update, state, x0, params, cfg = ge._mpc_setup(
         horizon=horizon, max_iterations=max_iterations)
-    prob, _spec = problems.trajectory_tracking_mpc(ref_capacity=128)
+    prob, _spec = ge._mpc_problem()
     lupdate = batched.make_batched_update_fn(
         prob, horizon, batch, integrator=ilqr.HEUN)
 

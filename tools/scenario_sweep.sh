@@ -5,7 +5,8 @@ out=${1:-/tmp/scenario_sweep.log}
 : > "$out"
 cd "$(dirname "$0")/.."
 scen_root=/root/reference/data/scenarios
-for d in "$scen_root"/*/*/; do
+for d in "$scen_root"/*/ "$scen_root"/*/*/; do
+    [ -f "$d/state.json" ] || continue
     s=${d#"$scen_root"/}; s=${s%/}
     res=$(timeout 420 python3 -m tpl_tpu.simulation.tplsim run \
         --scenario "$s" --headless --max-t 12 --cpu \

@@ -20,6 +20,7 @@ from tpl_tpu.ops.interp import lerp_xs
 from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.utils import traj_collision_imminent
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
 from tpl_tpu.planning.dyn_prog.lat_lon_kernel import (
@@ -439,6 +440,14 @@ class DpLatLonPlanner(BasePlanner):
         # environment on every replan pass (reevalTraj before the warm
         # start in update()); between replans the check is host-only
         if not self.is_traj_valid(self.traj_dp):
+            return True, False
+
+        # per-pass reaction to NEW threats without a device round trip:
+        # conservative host screen of the stored plan against the latest
+        # predictions; a hit just forces the replan one pass early
+        if traj_collision_imminent(self.trajectory_np, env.predicted,
+                                   params.cpp.width_veh,
+                                   params.cpp.length_veh, env.t):
             return True, False
 
         return False, False

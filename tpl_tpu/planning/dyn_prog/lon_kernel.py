@@ -111,11 +111,7 @@ def lon_dynamics_np(state, j, dt):
 
 def lon_traj_state(traj, t):
     """(lon_planner.cu:253-261 LonTraj::state)"""
-    ts = traj[:, LC_T]
-    i = int(np.clip(np.searchsorted(ts, t, side="right") - 1,
-                    0, len(traj) - 1))
-    t_rel = t - traj[i, LC_T]
-    return lon_dynamics_np(traj[i], traj[i, LC_J], t_rel)
+    return lon_traj_states(traj, np.asarray([t], dtype=np.float64))[0]
 
 
 def lon_traj_states(traj, ts):

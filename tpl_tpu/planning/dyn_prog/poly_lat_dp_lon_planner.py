@@ -18,6 +18,7 @@ from tpl_tpu.ops.interp import lerp_xs
 from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.utils import traj_collision_imminent
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog import lon_kernel as lk
 from tpl_tpu.planning.dyn_prog.lon_kernel import (
@@ -83,7 +84,6 @@ class PolyLatDpLonPlanner(BasePlanner):
         self._lon_solver = None
         self._lon_reeval = None
         self._lon_spec = None
-        self._lon_nodes = None
 
         self.runtime_dp = 0.0
 
@@ -203,10 +203,9 @@ class PolyLatDpLonPlanner(BasePlanner):
         dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
         dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
 
-        nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
-                             cpp_lon.packed(),
-                             jnp.asarray(self.dp_lon_start, jnp.float32))
-        self._lon_nodes = nodes
+        _nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
+                              cpp_lon.packed(),
+                              jnp.asarray(self.dp_lon_start, jnp.float32))
         self.traj_lon = np.asarray(traj, dtype=np.float64)
 
         self.runtime_dp = time.perf_counter() - start
@@ -374,6 +373,14 @@ class PolyLatDpLonPlanner(BasePlanner):
         # (the lon solve re-derives costs/validity against the fresh
         # env); between replans the check is host-only -- see update()
         if not self.is_traj_valid(self.traj_lon):
+            return True, False
+
+        # per-pass reaction to NEW threats without a device round trip:
+        # conservative host screen of the stored plan against the latest
+        # predictions; a hit just forces the replan one pass early
+        if traj_collision_imminent(self.trajectory_np, env.predicted,
+                                   params.cpp_lon.width_veh,
+                                   params.cpp_lon.length_veh, env.t):
             return True, False
 
         return False, False
