@@ -6,7 +6,10 @@ naming), active planner dispatch, trajectory publication, param loading.
 
 import time
 import copy
+import traceback
 import os.path as osp
+
+import jax
 
 from tpl_tpu import util
 from tpl_tpu.planning import BasePlanner, Trajectory
@@ -71,7 +74,29 @@ class PlanningApp:
 
         trajectory = None
         if planner is not None and do_update:
-            trajectory = planner.update(self.env)
+            try:
+                trajectory = planner.update(self.env)
+            except jax.errors.JaxRuntimeError:
+                # Device/tunnel failure (worker crash, preemption, RPC
+                # drop). The worker restart wipes all device state, so a
+                # half-updated planner instance is unrecoverable in
+                # place: publish an emergency trajectory (routed to
+                # ConstAccController, control_app.py) and rebuild the
+                # planner from scratch on the restarted device — the
+                # reference's degrade-then-recover pattern
+                # (dp_lat_lon_planner.py:170-176) extended to the
+                # accelerator itself, which the reference never loses.
+                traceback.print_exc()
+                print(f"[planning] device failure in {active_planner}; "
+                      "latching emergency and rebuilding the planner",
+                      flush=True)
+                trajectory = Trajectory()
+                trajectory.emergency = True
+                try:
+                    self.planners[active_planner] = type(planner)(
+                        planner.shared, planner.lock_shared)
+                except Exception:
+                    traceback.print_exc()
 
         if hasattr(planner, "runtime"):
             runtime = planner.runtime

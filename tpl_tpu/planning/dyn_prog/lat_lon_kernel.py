@@ -767,12 +767,20 @@ def make_latlon_replan(spec):
 
     solve, reeval = make_latlon_solver(spec)
     T, S, L = spec["t_steps"], spec["s_steps"], spec["l_steps"]
+    warmed = []
 
     def replan(ref_line, ref_step, quads, tbit, stat, valid, dilation,
                s_min, s_step, l_min, l_step, ppv, x0):
         occ, dist_lon = dpe._build_grids(
             ref_line, ref_step, quads, tbit, stat, valid, dilation,
             s_min, s_step, l_min, l_step, T, S, L)
+        if not warmed:
+            # first call: synchronize between the two programs so the
+            # solve's compilation never overlaps the grid build's
+            # execution — compiling one program while another executes
+            # crashes the tunneled TPU worker (observed on v5e)
+            jax.block_until_ready(dist_lon)
+            warmed.append(True)
         _, traj = solve(dist_lon, ref_line, ref_step, ppv, x0)
         return occ, dist_lon, traj
 

@@ -9,6 +9,7 @@ import time
 import copy
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpl_tpu import util
@@ -84,6 +85,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         self._lon_solver = None
         self._lon_reeval = None
         self._lon_spec = None
+        self._chain_warmed = False
 
         self.runtime_dp = 0.0
 
@@ -131,6 +133,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         if self._lon_spec != spec:
             self._lon_solver, self._lon_reeval = lk.make_lon_solver(spec)
             self._lon_spec = spec
+            self._chain_warmed = False    # new program: re-warm the chain
         return self._lon_solver, self._lon_reeval
 
     def _path_dist_sl(self, cpp_lon):
@@ -158,6 +161,12 @@ class PolyLatDpLonPlanner(BasePlanner):
         # deferred env grid build (dp_env.update(..., defer_device=True));
         # dispatches async and feeds the poly-lat kernel device-resident
         self.dp_env.cpp_env.update()
+        if not self._chain_warmed:
+            # first replan: sync between chained programs so no stage's
+            # compilation overlaps another's execution (compile-during-
+            # execute crashes the tunneled TPU worker, see
+            # lat_lon_kernel.make_latlon_replan)
+            jax.block_until_ready(self.dp_env.cpp_env.grid.occ_map)
 
         self.poly_lat.reinit_buffers(params.cpp_lat)
         new_traj_lat = self.poly_lat.update(self.poly_lat_start,
@@ -197,6 +206,9 @@ class PolyLatDpLonPlanner(BasePlanner):
         solver, _ = self._get_lon(cpp_lon)
         dist_path = self.dp_env.cpp_env.update_dist_map_path(
             self._path_dist_sl(cpp_lon))
+        if not self._chain_warmed:
+            jax.block_until_ready(dist_path)
+            self._chain_warmed = True
 
         # offset path x/y for the device (f32) frame
         dev_path = self.path.copy()
