@@ -22,6 +22,14 @@ import os as _os
 
 import jax as _jax
 
+# Enable 64-bit types: the host-pinned latency solvers (tracking MPC,
+# RSTP stages) run in float64 like the reference's generated-C doubles —
+# float32 command noise (~1e-2 in steering) destabilizes the zero-dead-
+# time control loop at 100 Hz. Device (TPU) kernels request float32
+# explicitly throughout, so accelerator programs are unaffected. This is
+# also the configuration the test suite runs under (tests/conftest.py).
+_jax.config.update("jax_enable_x64", True)
+
 # Persistent XLA compilation cache: solver programs are compiled once per
 # (problem, capacity, dtype) and reused across processes/runs.
 _cache_dir = _os.environ.get(

@@ -11,6 +11,7 @@ state, and solves the tracking MPC with the iLQR core (HEUN integrator).
 import copy
 
 import numpy as np
+import jax.numpy as jnp
 
 from tpl_tpu import util
 from tpl_tpu.util import runtime
@@ -75,7 +76,8 @@ class ModelPredictiveController(BaseController):
         self.lock_shared = lock_shared
 
         prob, spec = problems.trajectory_tracking_mpc(ref_capacity=128)
-        self.opt = Solver(prob, spec, horizon_max=60, device="cpu")
+        self.opt = Solver(prob, spec, horizon_max=60,
+                  dtype=jnp.float64, device="cpu")
         self.opt.integrator_type = self.opt.HEUN
         self.opt.lg_mult_limit = 0.0
         self.opt.barrier_weight[:] = 10000.0

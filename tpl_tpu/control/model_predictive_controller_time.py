@@ -7,6 +7,7 @@ dead-time compensation.
 import copy
 
 import numpy as np
+import jax.numpy as jnp
 
 from tpl_tpu import util
 from tpl_tpu.util import runtime
@@ -73,7 +74,8 @@ class ModelPredictiveControllerTime(BaseController):
         self.lock_shared = lock_shared
 
         prob, spec = problems.trajectory_tracking_mpc_time(ref_capacity=128)
-        self.opt = Solver(prob, spec, horizon_max=60, device="cpu")
+        self.opt = Solver(prob, spec, horizon_max=60,
+                  dtype=jnp.float64, device="cpu")
         self.opt.integrator_type = self.opt.HEUN
         self.opt.lg_mult_limit = 0.0
         self.opt.barrier_weight[:] = 10000.0
