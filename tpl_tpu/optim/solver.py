@@ -220,7 +220,10 @@ class Solver:
         res = ilqr._integrate(self.problem.dynamics, xj, uj, t,
                               jnp.asarray(dt, self.dtype), p,
                               self._integrator)
-        return np.asarray(res, dtype=np.float64)
+        # np.array (not asarray): with matching dtypes asarray returns a
+        # zero-copy READ-ONLY view of the device buffer; callers mutate
+        # the result (dead-time compensation loop, mpc:172-177)
+        return np.array(res, dtype=np.float64)
 
     def _get_update_fn(self):
         """Jitted update with PACKED inputs.
