@@ -108,3 +108,31 @@ def test_time_mpc_no_utm_quantization():
     lat = (np.asarray(con_traj.x) - UTM_X) * n[0] \
         + (np.asarray(con_traj.y) - UTM_Y) * n[1]
     assert np.max(np.abs(lat)) < 0.1, np.max(np.abs(lat))
+
+
+def test_dead_time_compensation_runs_and_predicts_forward():
+    """Regression: the dead-time loop mutates Solver.dynamics results in
+    place (mpc:172-177) — they must be writable — and the compensated
+    state must advance along the reference by roughly v * dead_time."""
+    from tpl_tpu.control.model_predictive_controller import (
+        ModelPredictiveController)
+
+    heading, v = 0.3, 10.0
+    traj = _make_straight_traj(heading, v)
+
+    veh = VehicleState()
+    veh.x, veh.y = UTM_X, UTM_Y
+    veh.phi = heading
+    veh.v = v
+    veh.dead_time_steer = 0.05
+    veh.dead_time_acc = 0.05
+
+    ctrl, (acc, steer), con_traj = _run_controller(
+        ModelPredictiveController, traj, veh, steps=10)
+
+    assert abs(steer) < 0.02
+    dtt = ctrl.dead_time_trajectory
+    assert len(dtt) >= 2
+    # forward-integrated dead-time trajectory advances ~v * dead_time
+    adv = np.hypot(dtt[-1, 1] - dtt[0, 1], dtt[-1, 2] - dtt[0, 2])
+    assert 0.2 < adv < 1.5, adv
