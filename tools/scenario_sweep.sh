@@ -9,7 +9,7 @@ for d in "$scen_root"/*/ "$scen_root"/*/*/; do
     [ -f "$d/state.json" ] || continue
     s=${d#"$scen_root"/}; s=${s%/}
     res=$(timeout 420 python3 -m tpl_tpu.simulation.tplsim run \
-        --scenario "$s" --headless --max-t 12 --cpu \
+        --scenario "$s" --headless --max-t 12 --cpu --no-reload \
         --app-id "sweep-$(echo "$s" | tr / -)" 2>&1 | tail -4)
     viol=$(echo "$res" | grep -oP 'rule violations: \K\d+' | tail -1)
     if [ -z "$viol" ]; then
