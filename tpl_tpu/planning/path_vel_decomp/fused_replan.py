@@ -312,7 +312,8 @@ def _add_vel_constraint(lim_v, T, index, max_vel, length):
 # fused step
 
 
-def make_fused_step(H, max_objs=16, max_hull=12, max_vcons=8, max_tcons=8):
+def make_fused_step(H, max_objs=16, max_hull=12, max_vcons=8, max_tcons=8,
+                    unroll=1):
     """Build the jitted fused replan step for horizon capacity H.
 
     Returns ``step(carry, inputs) -> (carry, outputs)``.  See
@@ -321,9 +322,9 @@ def make_fused_step(H, max_objs=16, max_hull=12, max_vcons=8, max_tcons=8):
     lat_prob, _lat_spec = problems.lateral_profile(ref_capacity=H)
     vel_prob, _vel_spec = problems.velocity_profile_space(ref_capacity=H)
     lat_fn = ilqr.make_update_fn(lat_prob, H, integrator=ilqr.EULER,
-                                 dtype=F32, jit=False)
+                                 dtype=F32, jit=False, unroll=unroll)
     vel_fn = ilqr.make_update_fn(vel_prob, H, integrator=ilqr.EULER,
-                                 dtype=F32, jit=False)
+                                 dtype=F32, jit=False, unroll=unroll)
 
     def step(carry, inp):
         inp = _unpack_inputs(inp)

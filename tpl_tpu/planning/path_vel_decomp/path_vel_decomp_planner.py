@@ -147,9 +147,15 @@ class PathVelDecompPlanner(BasePlanner):
         from tpl_tpu.planning.path_vel_decomp.fused_replan import (
             FusedRstpReplan)
 
-        if self.fused is None:
-            self.fused = FusedRstpReplan(
-                horizon_max=max(256, params.horizon))
+        # Compile the fused kernel at the configured horizon: the solve
+        # is a serial scan over horizon_max steps, so padding a 100-step
+        # problem to a fixed 256 would pay 2.5x the latency.  The horizon
+        # is a parameter that changes rarely (never mid-drive), so an
+        # exact-size compile beats bucketing; rebuilding (losing warm
+        # starts) only happens when the horizon parameter itself moves.
+        H = max(16, int(params.horizon))
+        if self.fused is None or self.fused.H != H:
+            self.fused = FusedRstpReplan(horizon_max=H)
 
         self.path_smoothing.reset_required = True
         prep = self.path_optim.prepare(env, params.path_optim)
