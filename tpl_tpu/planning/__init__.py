@@ -12,6 +12,7 @@ from tpl_tpu.planning.dyn_prog import (
     DpLatLonPlanner,
     PolyLatDpLonPlanner,
     DpPolyPlanner,
+    LatticePlanner,
 )
 from tpl_tpu.planning.idm_sampling import IdmSamplingPlanner
 from tpl_tpu.planning.poly_sampling import PolySamplingPlanner

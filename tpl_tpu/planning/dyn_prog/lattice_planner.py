@@ -1,0 +1,387 @@
+"""
+Lattice planner: polynomial lateral path sampling over the DP environment
++ longitudinal DP over the sampled path, replanned on a time/deviation
+reinit policy. (reference: library/tpl/planning/dyn_prog/lattice_planner.py)
+
+The reference version is unregistered WIP (commented out of
+planning/__init__.py:19): its default branch needs a `DynProgLatPlanner`
+that exists nowhere in the reference bindings and crashes on an undefined
+`dp_params` (lattice_planner.py:251).  Its one coherent configuration —
+`use_lat_sampling_planner=True`: PolyLatPlanner path + DP velocity profile
+(lattice_planner.py:155-247,495) — is what this driver implements, reusing
+the TPU kernels shared with PolyLatDpLonPlanner.  What distinguishes it
+from that planner is the replan policy (lattice_planner.py:397-434): a
+full replan from a warm start interpolated out of the stored lateral
+polynomial every `reinit_time` seconds, and a cold reinit from the vehicle
+when it strays more than `d_reinit_lat` off the planned path — instead of
+the 10 Hz splice-and-extend loop.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpl_tpu import util
+from tpl_tpu.util import Bundle, snapshot
+from tpl_tpu.ops import curv_to_vel_profile, rampify_profile
+from tpl_tpu.ops.interp import lerp_xs
+from tpl_tpu.environment import EnvironmentState
+from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.utils import traj_collision_imminent
+from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
+from tpl_tpu.planning.dyn_prog import lon_kernel as lk
+from tpl_tpu.planning.dyn_prog.lon_kernel import (
+    LonParams, lon_traj_state, LC_T, LC_S, LC_V, LC_A, LC_CONSTR,
+    PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST,
+)
+from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
+    PolyLatParams, PolyLatPlannerJax,
+    TC_L, TC_DL, TC_DDL, TC_S, TC_V, TC_X, TC_Y, TC_H, TC_DIST, TC_K,
+)
+
+
+class Params:
+    """(lattice_planner.py:29-48; the dead DynProgLatPlanner knobs are
+    dropped with the dead branch)"""
+
+    def __init__(self):
+        self.update_always = False
+        self.write_debug_data = True
+
+        self.dead_time = 0.0
+
+        self.a_lat_max = 2.5
+
+        self.d_reinit_lat = 0.2
+        self.reinit_time = 1.0
+
+        self.lat_sampling = PolyLatParams()
+        self.dyn_prog = LonParams()
+
+
+class LatticePlanner(BasePlanner):
+
+    def __init__(self, shared, lock_shared):
+        np.seterr(divide="ignore", invalid="ignore")
+
+        self.shared = shared
+        self.lock_shared = lock_shared
+
+        self.reset_counter = 0
+        self.invalid_counter = 0
+        self.emergency_counter = 0
+
+        self.last_update_time = -1.0
+        self.last_reinit_time = -1.0
+
+        self.traj_lat = None          # PolyLatTraj
+        self.path = None              # (P, 7) PathState array
+        self.traj_lon = None          # (T, 7) lon states
+
+        self.trajectory = Trajectory()
+        self.trajectory_np = None
+
+        self.lat_start = dict(l=0.0, dl=0.0, ddl=0.0, s=0.0, v=0.0)
+        self.lon_start = np.zeros(7)
+
+        self.poly_lat = PolyLatPlannerJax()
+        self._lon_solver = None
+        self._lon_spec = None
+        self._chain_warmed = False
+
+        self.runtime_dp = 0.0
+
+        with self.lock_shared():
+            self.shared.params = Bundle()
+            self.shared.params.planner = Params()
+            self.shared.debug = Bundle()
+            self.shared.debug.planner = Bundle()
+
+        self.dp_env = DpEnv(shared, lock_shared)
+        self.env = EnvironmentState()
+
+    # ------------------------------------------------------------------
+
+    def is_traj_valid(self, traj):
+        return bool(np.all(traj[1:-1, LC_CONSTR] < 0.1))
+
+    def update_params(self, env):
+        """(lattice_planner.py:639-662)"""
+        veh = env.vehicle_state
+        with self.lock_shared():
+            params = self.shared.params.planner
+            length_veh = veh.rear_axis_to_front + veh.rear_axis_to_rear
+            params.lat_sampling.length_veh = length_veh
+            params.lat_sampling.width_veh = veh.width
+            params.dyn_prog.length_veh = length_veh
+            params.dyn_prog.width_veh = veh.width
+            # full replans re-anchor trajectory time at the replan
+            # instant, so the lon grid needs no fractional alignment
+            params.dyn_prog.dt_start = params.dyn_prog.dt
+            sh_params = snapshot(params)
+        return sh_params
+
+    def _get_lon(self, cpp):
+        spec = dict(t_steps=cpp.t_steps, s_steps=cpp.s_steps,
+                    v_steps=cpp.v_steps, a_steps=cpp.a_steps,
+                    path_steps=cpp.path_steps)
+        if self._lon_spec != spec:
+            self._lon_solver, _ = lk.make_lon_solver(spec)
+            self._lon_spec = spec
+            self._chain_warmed = False
+        return self._lon_solver
+
+    def _path_dist_sl(self, cpp_lon):
+        S = cpp_lon.s_steps
+        dists = np.arange(S) * cpp_lon.s_step
+        a = dists / cpp_lon.path_step_size
+        i0 = np.clip(np.floor(a).astype(int), 0, len(self.path) - 1)
+        i1 = np.clip(np.ceil(a).astype(int), 0, len(self.path) - 1)
+        al = np.clip(a - i0, 0.0, 1.0)[:, None]
+        interp = self.path[i0] * (1.0 - al) + self.path[i1] * al
+        return interp[:, [PC_S, PC_L]]
+
+    # ------------------------------------------------------------------
+
+    def check_reinit(self, env, params):
+        """Replan decision; returns (replan, from_traj).
+        (lattice_planner.py:397-434: force/reset/no-state -> cold reinit;
+        t since last reinit >= reinit_time -> warm reinit from the stored
+        lateral polynomial; off-path by > d_reinit_lat -> cold reinit)"""
+        veh = env.vehicle_state
+
+        if not veh.automated:
+            return True, False
+
+        reset_required = self.reset_counter != env.reset_counter
+        self.reset_counter = env.reset_counter
+        if reset_required or self.traj_lon is None \
+                or self.dp_env.ref_line is None \
+                or self.trajectory.emergency:
+            return True, False
+
+        if abs(util.project(self.path[:, :2],
+                            [veh.x, veh.y]).distance) \
+                > params.d_reinit_lat:
+            return True, False
+
+        if env.t - self.last_reinit_time >= params.reinit_time:
+            return True, True
+
+        if not self.is_traj_valid(self.traj_lon):
+            return True, True
+
+        # conservative host screen of the stored plan against the latest
+        # predictions; a hit pulls the next warm replan forward (the
+        # reference's current_traj_valid device reeval is commented-out
+        # WIP, lattice_planner.py:668-671)
+        if traj_collision_imminent(self.trajectory_np, env.predicted,
+                                   params.dyn_prog.width_veh,
+                                   params.dyn_prog.length_veh, env.t):
+            return True, True
+
+        return False, False
+
+    def capture_warm_start(self, env, params):
+        """Lateral warm start out of the stored lateral trajectory at the
+        vehicle's station on the OLD reference line, captured before the
+        env rebuild shifts the frame (lattice_planner.py:436-470)."""
+        veh = env.vehicle_state
+        s_cur = util.project(self.dp_env.ref_line[:, :2],
+                             [veh.x, veh.y]).arc_len
+        pts = self.traj_lat.points
+        warm = {}
+        for key, col in (("l", TC_L), ("dl", TC_DL), ("ddl", TC_DDL)):
+            warm[key] = float(np.interp(s_cur, pts[:, TC_S], pts[:, col]))
+        return warm
+
+    def set_initial_state(self, env, params, lat_warm):
+        """(lattice_planner.py:456-510). Projections run against the
+        fresh reference line, so this follows the env rebuild."""
+        veh = env.vehicle_state
+        ref_proj = util.project(self.dp_env.ref_line[:, :2],
+                                [veh.x, veh.y])
+        t_traj = env.t - self.last_reinit_time
+
+        if lat_warm is not None and self.traj_lon is not None:
+            self.lat_start = dict(
+                l=lat_warm["l"], dl=lat_warm["dl"], ddl=lat_warm["ddl"],
+                s=ref_proj.arc_len, v=veh.v)
+            lon = lon_traj_state(self.traj_lon, t_traj)
+            self.lon_start = np.zeros(7)
+            self.lon_start[LC_V] = lon[LC_V]
+            self.lon_start[LC_A] = lon[LC_A]
+        else:
+            self.lat_start = dict(
+                l=ref_proj.distance,
+                dl=np.tan(veh.phi - ref_proj.angle),
+                ddl=0.0,
+                s=ref_proj.arc_len, v=veh.v)
+            self.lon_start = np.zeros(7)
+            # the reference snaps the cold lon start onto the value grid
+            # (lattice_planner.py:505-506)
+            self.lon_start[LC_V] = round(veh.v)
+            self.lon_start[LC_A] = round(veh.a)
+        self.lon_start[LC_A] = min(params.dyn_prog.a_max, max(
+            params.dyn_prog.a_min, self.lon_start[LC_A]))
+
+        self.last_reinit_time = env.t
+
+    def update_planner(self, env, params):
+        """One full replan: lateral sampling -> path resample + velocity
+        profile -> longitudinal DP (lattice_planner.py:155-247,566-580)."""
+        start = time.perf_counter()
+
+        self.dp_env.cpp_env.update()
+        if not self._chain_warmed:
+            # first replan: sync between chained programs so no stage's
+            # compilation overlaps another's execution (see
+            # lat_lon_kernel.make_latlon_replan)
+            jax.block_until_ready(self.dp_env.cpp_env.grid.occ_map)
+
+        self.poly_lat.reinit_buffers(params.lat_sampling)
+        self.traj_lat = self.poly_lat.update(self.lat_start,
+                                             self.dp_env.cpp_env)
+
+        cpp_lon = params.dyn_prog
+        dists = np.arange(0.0, cpp_lon.path_steps * cpp_lon.path_step_size,
+                          cpp_lon.path_step_size)
+        lat = self.traj_lat.lerp(dists)
+        self.path = lat[:, [TC_X, TC_Y, TC_S, TC_L, TC_K, TC_V, TC_DIST]]
+
+        self.path[:, PC_VMAX] = curv_to_vel_profile(
+            self.path[:, PC_K], self.path[:, PC_VMAX], params.a_lat_max)
+        self.path[:, PC_VMAX] = rampify_profile(
+            None, None, self.path[:, PC_VMAX],
+            cpp_lon.a_min, cpp_lon.a_max, cpp_lon.j_min, cpp_lon.j_max,
+            1.0, cpp_lon.path_step_size)[:, 0]
+
+        veh = env.vehicle_state
+        path_proj = util.project(self.path[:, :2], [veh.x, veh.y])
+        self.lon_start[LC_S] = path_proj.arc_len
+
+        solver = self._get_lon(cpp_lon)
+        dist_path = self.dp_env.cpp_env.update_dist_map_path(
+            self._path_dist_sl(cpp_lon))
+        if not self._chain_warmed:
+            jax.block_until_ready(dist_path)
+            self._chain_warmed = True
+
+        dev_path = self.path.copy()
+        dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
+        dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
+
+        _nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
+                              cpp_lon.packed(),
+                              jnp.asarray(self.lon_start, jnp.float32))
+        self.traj_lon = np.asarray(traj, dtype=np.float64)
+
+        self.runtime_dp = time.perf_counter() - start
+
+    def update_trajectory(self, env, params):
+        """(lattice_planner.py:308-339)"""
+        cpp_lon = params.dyn_prog
+        ts = np.arange(0.0, (cpp_lon.t_steps - 1) * cpp_lon.dt, 0.1)
+
+        lon_states = lk.lon_traj_states(self.traj_lon, ts)
+        # lon s is distance along the path; map it back to path states
+        lat_states = self.traj_lat.lerp(
+            lon_states[:, LC_S]
+            + self.path[0, PC_DIST])
+
+        traj_np = np.zeros((len(ts), 8))
+        traj_np[:, 0] = ts + env.t + params.dead_time
+        traj_np[:, 1] = lat_states[:, TC_S]
+        traj_np[:, 2] = lat_states[:, TC_X]
+        traj_np[:, 3] = lat_states[:, TC_Y]
+        traj_np[:, 4] = lon_states[:, LC_V]
+        traj_np[:, 5] = lon_states[:, LC_A]
+        traj_np[:, 6] = lat_states[:, TC_H]
+        traj_np[:, 7] = lat_states[:, TC_K]
+
+        if not self.is_traj_valid(self.traj_lon):
+            self.invalid_counter += 1
+        else:
+            self.invalid_counter = 0
+
+        if self.invalid_counter > 10:
+            self.invalid_counter = 0
+            self.emergency_counter = 50
+
+        traj = Trajectory()
+        traj.emergency = self.emergency_counter > 0
+        if not traj.emergency:
+            traj.time = traj_np[:, 0]
+            traj.s = traj_np[:, 1]
+            traj.x = traj_np[:, 2]
+            traj.y = traj_np[:, 3]
+            traj.velocity = traj_np[:, 4]
+            traj.acceleration = traj_np[:, 5]
+            traj.orientation = traj_np[:, 6]
+            traj.curvature = traj_np[:, 7]
+            self.trajectory_np = traj_np
+
+        self.trajectory = traj
+
+    def write_debug_data(self, env, params):
+        if not params.write_debug_data:
+            return
+        if self.traj_lon is None or self.traj_lat is None:
+            return
+        with self.lock_shared():
+            dbg = self.shared.debug.planner
+            dbg.traj_lon = self.traj_lon.copy()
+            dbg.traj_lat = self.traj_lat.points.copy()
+            dbg.path = None if self.path is None else self.path.copy()
+            dbg.runtime_dp = self.runtime_dp
+
+    def update(self, sh_env):
+        env = self.env
+
+        with sh_env.lock():
+            env.t = sh_env.t
+            env.reset_counter = sh_env.reset_counter
+            env.vehicle_state = snapshot(sh_env.vehicle_state)
+            env.local_map = snapshot(sh_env.local_map)
+            env.local_map_behind = snapshot(sh_env.local_map_behind)
+            env.selected_map = snapshot(sh_env.selected_map)
+            env.tracks = snapshot(sh_env.tracks)
+            env.predicted = snapshot(sh_env.predicted)
+            env.man_time_cons = snapshot(sh_env.man_time_cons)
+
+        params = self.update_params(env)
+
+        update_needed = env.local_map is not None
+        if env.t == self.last_update_time and not params.update_always:
+            time.sleep(0.001)
+            update_needed = False
+        if env.t < self.last_update_time:
+            self.last_update_time = 0.0
+
+        if update_needed:
+            replan, from_traj = self.check_reinit(env, params)
+
+            # device work is concentrated on replan passes; in-between
+            # passes are host-only (the reference rebuilds the env every
+            # tick but only consumes it on replans — its device reeval is
+            # disabled WIP, lattice_planner.py:668-676; over a tunneled
+            # accelerator the per-tick rebuild would only add round trips)
+            if replan or params.update_always:
+                lat_warm = None
+                if from_traj and self.traj_lat is not None:
+                    lat_warm = self.capture_warm_start(env, params)
+                self.dp_env.update(env, defer_device=True)
+                self.set_initial_state(env, params, lat_warm)
+                self.update_planner(env, params)
+                self.dp_env.finish_deferred_update()
+                self.update_trajectory(env, params)
+            self.emergency_counter = max(0, self.emergency_counter - 1)
+
+            self.last_update_time = env.t
+
+        self.write_debug_data(env, params)
+
+        return self.trajectory
