@@ -173,3 +173,31 @@ def test_map_editor(sim_and_gui):
         reloaded = util.get_obj_dict(store)
         assert key in reloaded
         assert reloaded[key].control_points[0][2] == 4.5
+
+
+def test_event_log(sim_and_gui):
+    """Event feed parity with the reference's VoiceLog announcer
+    (library/tpl/gui/views/voice_log.py): environment resets, autonomy
+    transitions, and planner reinit messages become timestamped events."""
+    sim, gui = sim_and_gui
+    sim.update()
+
+    # prime the watcher with the current state
+    assert json.loads(_get(gui, "/events.json")[1]) == []
+
+    gui.event_log.min_interval = 0.0  # no rate limit in the test
+
+    with sim.env_app.env.lock():
+        sim.env_app.env.reset_counter += 1
+    events = json.loads(_get(gui, "/events.json")[1])
+    assert any("Environment reset" in e["msg"] for e in events)
+
+    with sim.env_app.env.lock():
+        sim.env_app.env.vehicle_state.automated = False
+    events = json.loads(_get(gui, "/events.json")[1])
+    assert any("disengaged" in e["msg"] for e in events)
+
+    with sim.env_app.env.lock():
+        sim.env_app.env.vehicle_state.imu_state = 2
+    events = json.loads(_get(gui, "/events.json")[1])
+    assert any("RTK floating" in e["msg"] for e in events)

@@ -52,6 +52,8 @@ _PAGE = """<!doctype html>
     <button onclick="setSim(false)">pause</button>
     <a href="editor" style="color:#4a9">map editor</a></p>
  <pre id="viol"></pre>
+ <h4>events</h4>
+ <pre id="events"></pre>
 </div>
 <script>
 async function tick() {
@@ -83,6 +85,9 @@ async function tick() {
     if (document.activeElement !== sel) sel.value = active;
   }
   document.getElementById('scene').src = 'scene.png?' + Date.now();
+  const ev = await (await fetch('events.json')).json();
+  document.getElementById('events').textContent = ev.slice(0, 10)
+    .map(e => e.t.toFixed(1) + '  ' + e.msg).join('\\n');
 }
 function setSim(running) {
   fetch('sim', {method: 'POST', body: JSON.stringify({running})});
@@ -294,7 +299,9 @@ class GuiServer:
         self.control_store = control_store
 
         from tpl_tpu.gui.map_editor import MapEditor
+        from tpl_tpu.gui.event_log import EventLog
         self.map_editor = MapEditor(env)
+        self.event_log = EventLog(env, planning_store)
 
         gui = self
 
@@ -331,6 +338,9 @@ class GuiServer:
                         key = parse_qs(query).get("map", [""])[0]
                         self._send(200, json.dumps(
                             gui.map_editor.map_dict(key)).encode())
+                    elif path == "/events.json":
+                        self._send(200, json.dumps(
+                            gui.event_log.events()).encode())
                     elif path == "/scene.png":
                         self._send(200, gui.scene_png(), "image/png")
                     else:
