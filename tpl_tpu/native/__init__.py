@@ -90,6 +90,122 @@ def get_lib():
     return _lib
 
 
+_shm_lib = None
+_shm_tried = False
+
+
+def _build_shm_and_load():
+    src_path = os.path.join(_HERE, "shmstore.cpp")
+    with open(src_path, "rb") as f:
+        src = f.read()
+    flags = ["-O2", "-shared", "-fPIC", "-pthread"]
+    tag = hashlib.sha1(src + " ".join(flags).encode()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "TPL_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpl_tpu_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"shmstore_{tag}.so")
+
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        subprocess.run(["g++", *flags, "-o", tmp, src_path],
+                       check=True, capture_output=True)
+        os.replace(tmp, so_path)
+
+    lib = ctypes.CDLL(so_path)
+    lib.tpl_shm_open.restype = ctypes.c_void_p
+    lib.tpl_shm_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.tpl_shm_lock.restype = ctypes.c_int
+    lib.tpl_shm_lock.argtypes = [ctypes.c_void_p]
+    lib.tpl_shm_unlock.restype = ctypes.c_int
+    lib.tpl_shm_unlock.argtypes = [ctypes.c_void_p]
+    lib.tpl_shm_version.restype = ctypes.c_uint64
+    lib.tpl_shm_version.argtypes = [ctypes.c_void_p]
+    lib.tpl_shm_capacity.restype = ctypes.c_int64
+    lib.tpl_shm_capacity.argtypes = [ctypes.c_void_p]
+    lib.tpl_shm_read.restype = ctypes.c_int64
+    lib.tpl_shm_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.tpl_shm_write.restype = ctypes.c_uint64
+    lib.tpl_shm_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.tpl_shm_close.restype = None
+    lib.tpl_shm_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def get_shm_lib():
+    global _shm_lib, _shm_tried
+    if _shm_lib is not None or _shm_tried:
+        return _shm_lib
+    with _lib_lock:
+        if _shm_lib is None and not _shm_tried:
+            _shm_tried = True
+            if os.environ.get("TPL_TPU_NO_NATIVE"):
+                return None
+            try:
+                _shm_lib = _build_shm_and_load()
+            except Exception:
+                _shm_lib = None
+    return _shm_lib
+
+
+class NativeShm:
+    """One native store mapping (see shmstore.cpp). Raises RuntimeError
+    if the native engine is unavailable or the open fails."""
+
+    def __init__(self, path, size):
+        lib = get_shm_lib()
+        if lib is None:
+            raise RuntimeError("native shm engine unavailable")
+        self._lib = lib
+        self._h = lib.tpl_shm_open(path.encode(), int(size))
+        if not self._h:
+            raise RuntimeError(f"tpl_shm_open failed for {path}")
+        self.capacity = lib.tpl_shm_capacity(self._h)
+        self._buf = ctypes.create_string_buffer(self.capacity)
+
+    def lock(self):
+        r = self._lib.tpl_shm_lock(self._h)
+        if r < 0:
+            raise RuntimeError("tpl_shm_lock failed")
+        return r  # 1 = recovered from a dead owner
+
+    def unlock(self):
+        self._lib.tpl_shm_unlock(self._h)
+
+    def version(self):
+        return self._lib.tpl_shm_version(self._h)
+
+    def read(self):
+        """Returns (payload bytes, version). Caller holds the lock."""
+        ver = ctypes.c_uint64()
+        n = self._lib.tpl_shm_read(self._h, self._buf, self.capacity,
+                                   ctypes.byref(ver))
+        if n < 0:
+            raise RuntimeError("shm payload larger than capacity")
+        return ctypes.string_at(self._buf, n), ver.value
+
+    def write(self, blob):
+        ver = self._lib.tpl_shm_write(self._h, blob, len(blob))
+        if ver == 0:
+            raise RuntimeError(
+                f"shm store overflow: {len(blob)} > {self.capacity}")
+        return ver
+
+    def close(self):
+        if self._h:
+            self._lib.tpl_shm_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def _ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 

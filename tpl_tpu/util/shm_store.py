@@ -1,13 +1,22 @@
 """
 File-backed shared-memory store for multi-process deployments.
 
-The reference uses ``structstore`` shared-memory stores with per-store
-mutexes (reference: library/tpl/util.py:310-333); here the equivalent is a
-mmap'd file holding a pickled attribute namespace with a version counter
-and an fcntl lock. ``lock()`` refreshes the local mirror on entry and
-publishes mutations on exit — matching the reference's
-snapshot-in / snapshot-out usage pattern (all apps deepcopy under the
-lock anyway).
+The reference uses ``structstore``: a C++ shared-memory store library with
+per-store process-shared mutexes (reference: library/tpl/util.py:310-333).
+The equivalent here is a native C++ engine (tpl_tpu/native/shmstore.cpp):
+one mmap'd file per store holding a robust process-shared pthread mutex
+and double-buffered pickle payload slots (a writer crash can never tear
+the readable slot; a lock holder's death is recovered via EOWNERDEAD).
+``lock()`` refreshes the local mirror on entry and publishes mutations on
+exit — matching the reference's snapshot-in / snapshot-out usage pattern
+(all apps deepcopy under the lock anyway).
+
+When the native engine is unavailable (no compiler, or
+``TPL_TPU_SHM_ENGINE=python``), a pure-Python fallback with an fcntl file
+lock provides the same semantics.  The engine choice must be uniform
+across the processes sharing a store (it is, in practice: same machine,
+same build cache); the fallback detects a native-layout file and raises
+instead of corrupting it.
 """
 
 import os
@@ -19,7 +28,18 @@ import fcntl
 import threading
 from tpl_tpu.util import snapshot
 
-_HEADER = struct.Struct("<QQ")  # version, payload length
+_HEADER = struct.Struct("<QQ")  # version, payload length (python engine)
+_NATIVE_MAGIC = b"TPLSHM01"
+
+
+def _try_native(file_path, size):
+    if os.environ.get("TPL_TPU_SHM_ENGINE", "") == "python":
+        return None
+    try:
+        from tpl_tpu.native import NativeShm
+        return NativeShm(file_path, size)
+    except Exception:
+        return None
 
 
 class ShmStore:
@@ -33,16 +53,30 @@ class ShmStore:
         self._size = size
 
         new = not os.path.exists(self._file_path)
-        self._fd = os.open(self._file_path, os.O_RDWR | os.O_CREAT, 0o600)
-        cur = os.fstat(self._fd).st_size
-        if cur < size + _HEADER.size:
-            os.ftruncate(self._fd, size + _HEADER.size)
-        self._mm = mmap.mmap(self._fd, size + _HEADER.size)
 
         object.__setattr__(self, "_attrs", {})
-        self._version = 0
+        self._version = -1
         self._tlock = threading.RLock()
         self._lock_depth = 0
+
+        self._native = _try_native(self._file_path, size)
+        self._fd = None
+        self._mm = None
+        if self._native is None:
+            self._fd = os.open(self._file_path,
+                               os.O_RDWR | os.O_CREAT, 0o600)
+            cur = os.fstat(self._fd).st_size
+            if cur >= 8 and not new:
+                with open(self._file_path, "rb") as f:
+                    if f.read(8) == _NATIVE_MAGIC:
+                        raise RuntimeError(
+                            f"{self._file_path} was created by the native "
+                            "shm engine; this process fell back to the "
+                            "python engine (set TPL_TPU_SHM_ENGINE=python "
+                            "uniformly, or remove the stale store file)")
+            if cur < size + _HEADER.size:
+                os.ftruncate(self._fd, size + _HEADER.size)
+            self._mm = mmap.mmap(self._fd, size + _HEADER.size)
 
         if new or reinit:
             with self.lock():
@@ -51,6 +85,13 @@ class ShmStore:
     # internal ------------------------------------------------------
 
     def _read_locked(self):
+        if self._native is not None:
+            ver = self._native.version()
+            if ver != self._version:
+                blob, ver = self._native.read()
+                self._attrs = pickle.loads(blob) if blob else {}
+                self._version = ver
+            return
         version, length = _HEADER.unpack(self._mm[:_HEADER.size])
         if version != self._version and length > 0:
             try:
@@ -62,6 +103,9 @@ class ShmStore:
 
     def _write_locked(self):
         blob = pickle.dumps(self._attrs, protocol=pickle.HIGHEST_PROTOCOL)
+        if self._native is not None:
+            self._version = self._native.write(blob)
+            return
         if len(blob) > self._size:
             raise RuntimeError(
                 f"shm store {self._file_path} overflow: "
@@ -69,6 +113,18 @@ class ShmStore:
         self._version += 1
         self._mm[_HEADER.size:_HEADER.size + len(blob)] = blob
         self._mm[:_HEADER.size] = _HEADER.pack(self._version, len(blob))
+
+    def _acquire_file(self):
+        if self._native is not None:
+            self._native.lock()
+        else:
+            fcntl.flock(self._fd, fcntl.LOCK_EX)
+
+    def _release_file(self):
+        if self._native is not None:
+            self._native.unlock()
+        else:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
 
     # public --------------------------------------------------------
 
@@ -80,7 +136,7 @@ class ShmStore:
                 store._tlock.acquire()
                 store._lock_depth += 1
                 if store._lock_depth == 1:
-                    fcntl.flock(store._fd, fcntl.LOCK_EX)
+                    store._acquire_file()
                     store._read_locked()
                 return store
 
@@ -90,7 +146,7 @@ class ShmStore:
                     try:
                         store._write_locked()
                     finally:
-                        fcntl.flock(store._fd, fcntl.LOCK_UN)
+                        store._release_file()
                 store._tlock.release()
                 return False
 
@@ -98,11 +154,11 @@ class ShmStore:
 
     def revalidate(self):
         with self._tlock:
-            fcntl.flock(self._fd, fcntl.LOCK_EX)
+            self._acquire_file()
             try:
                 self._read_locked()
             finally:
-                fcntl.flock(self._fd, fcntl.LOCK_UN)
+                self._release_file()
 
     def wait_for_attr(self, name, timeout=-1.0):
         start = time.time()
@@ -146,7 +202,7 @@ class ShmStore:
 
 class ShmObject:
     """Share a whole python object between processes (make_class_shared
-    analog over the mmap substrate): ``lock()`` refreshes the local object
+    analog over the shm substrate): ``lock()`` refreshes the local object
     from shared memory on entry and publishes it on exit; methods keep
     working on the local mirror."""
 
