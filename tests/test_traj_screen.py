@@ -77,3 +77,42 @@ def test_empty_inputs():
     o = DynamicObject()
     o.predictions = []
     assert not traj_collision_imminent(traj, [o], 1.9, 5.0, t_now=100.0)
+
+
+def test_aligned_leader_passthrough_not_flagged():
+    # the s-domain velocity plan legitimately catches up to (and in open
+    # loop passes through) a slower same-heading leader's predicted
+    # position; with ignore_leading_aligned the latch must not fire
+    traj = _ego_traj(v=10.0)
+    obj = _obj(20.0, 0.0, yaw=0.0, v=5.0, heading=0.0)
+    assert traj_collision_imminent(traj, [obj], 1.9, 5.0, t_now=100.0)
+    assert not traj_collision_imminent(
+        traj, [obj], 1.9, 5.0, t_now=100.0,
+        min_closing_speed=1.0, ignore_leading_aligned=True)
+
+
+def test_oncoming_flagged_despite_leading_filter():
+    traj = _ego_traj(v=10.0)
+    obj = _obj(80.0, 0.0, yaw=np.pi, v=8.0, heading=np.pi)
+    assert traj_collision_imminent(
+        traj, [obj], 1.9, 5.0, t_now=100.0,
+        min_closing_speed=1.0, ignore_leading_aligned=True)
+
+
+def test_stationary_on_path_flagged_despite_leading_filter():
+    traj = _ego_traj(v=10.0)
+    obj = _obj(40.0, 0.0, yaw=0.0, v=0.0)
+    assert traj_collision_imminent(
+        traj, [obj], 1.9, 5.0, t_now=100.0,
+        min_closing_speed=1.0, ignore_leading_aligned=True)
+
+
+def test_matched_speed_tail_bunching_not_flagged():
+    # plan tail ends 2.5 m behind a matched-speed leader: marginal chain
+    # overlap with ~zero closing speed must not latch
+    traj = _ego_traj(v=10.0, n=50)
+    obj = _obj(traj[-1, 2] - 100.0 + 2.5 + 10.0 * 4.9, 0.0,
+               yaw=0.0, v=10.0, heading=0.0)
+    assert not traj_collision_imminent(
+        traj, [obj], 1.9, 5.0, t_now=100.0,
+        min_closing_speed=1.0, ignore_leading_aligned=True)

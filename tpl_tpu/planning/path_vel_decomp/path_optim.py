@@ -96,6 +96,18 @@ class Params:
         self.evasion_lat_d_comf = 2.0
         self.evasion_sharpness = 20.0
 
+        # Oncoming-traffic handling beyond the reference (which collides
+        # in its own overtake-against-oncoming stress scenarios, see
+        # PARITY.md): a larger lateral margin against oncoming hulls, and
+        # a meeting-point estimate from the ego's MEASURED speed instead
+        # of the map speed profile (path_optim.py:193-196 uses
+        # path[0, 5]; when the ego drives slower than the map profile —
+        # exactly what happens while yielding — that misplaces the carve
+        # window beyond the true meeting zone and uncovers the near
+        # field, letting the path nose into the oncoming corridor).
+        self.evasion_lat_d_safe_oncoming = 2.5
+        self.oncoming_v_scale_ego = True
+
         self.cost_func = CostFunctionParams()
 
 
@@ -191,8 +203,16 @@ class PathOptim:
             if p_min.index > first_stop:
                 continue
 
-            v_diff = path[0, 5] - obj.v * pred.cos_angle_dist
-            v_scale = path[0, 5] / max(0.001, abs(v_diff))
+            oncoming = pred.cos_angle_dist < 0.0
+
+            v_ego = path[0, 5]
+            if oncoming and params.oncoming_v_scale_ego:
+                # yielding ego drives below the map profile; the meeting
+                # point must follow the measured speed or the carve lands
+                # beyond the true conflict zone
+                v_ego = min(v_ego, max(veh.v, 0.5))
+            v_diff = v_ego - obj.v * pred.cos_angle_dist
+            v_scale = v_ego / max(0.001, abs(v_diff))
             if v_diff < 0.0:
                 v_scale *= -1.0
 
@@ -235,8 +255,13 @@ class PathOptim:
             else:
                 continue
 
+            lat_d_safe = params.evasion_lat_d_safe
+            if oncoming:
+                lat_d_safe = max(lat_d_safe,
+                                 params.evasion_lat_d_safe_oncoming)
+
             d_max = max(pps_in, key=lambda p: d_mult * p.distance).distance
-            d_max += d_mult * (params.evasion_lat_d_safe + veh.width / 2.0)
+            d_max += d_mult * (lat_d_safe + veh.width / 2.0)
             evade_dist = d_mult * d_max
 
             for i in range(idx_min, idx_max):

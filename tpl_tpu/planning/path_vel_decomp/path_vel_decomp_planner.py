@@ -35,6 +35,19 @@ class Params:
         # round trip per replan instead of two
         self.use_fused = True
 
+        # Safety layer beyond the reference: screen the published plan
+        # against the latest predictions every tick; a predicted overlap
+        # latches trajectory.emergency, which routes control to the
+        # const-acc hard brake (control_app.py:119-121 semantics) until
+        # the plan has been conflict-free for screen_hold_time seconds.
+        self.collision_screen = True
+        self.screen_hold_time = 1.0
+        # marginal overlaps only latch the hard brake when ego and object
+        # actually close on each other this fast: the velocity plan's tail
+        # legitimately bunches up behind a matched-speed leader
+        # (closing ~ 0), while oncoming/crossing threats close fast
+        self.screen_min_closing = 1.0
+
         self.path_smoothing = PathSmoothingParams()
         self.path_optim = PathOptimParams()
         self.velocity_optim = VelocityOptimParams()
@@ -52,6 +65,7 @@ class PathVelDecompPlanner(BasePlanner):
         self.fused = None  # built lazily on the first fused tick
 
         self.trajectory = Trajectory()
+        self.last_screen_hit = -np.inf
 
         with self.lock_shared():
             self.shared.params = Params()
@@ -79,6 +93,36 @@ class PathVelDecompPlanner(BasePlanner):
                     self.velocity_optim.v_lim,
                     self.velocity_optim.v_ref[:, 0]))
             self.shared.debug = dbg
+
+    def screen_trajectory(self, env, params):
+        """Per-tick host screen of the freshly planned trajectory against
+        the latest predictions (planning/utils.traj_collision_imminent).
+        A hit latches ``trajectory.emergency`` for screen_hold_time so the
+        vehicle hard-brakes out of the conflict instead of tracking a plan
+        the world has already invalidated.  No reference counterpart: the
+        reference RSTP planner publishes into the conflict (its own stress
+        scenarios collide, see PARITY.md)."""
+        traj = self.trajectory
+        if not params.collision_screen or len(traj.x) == 0:
+            traj.emergency = False
+            return
+        from tpl_tpu.planning.utils import traj_collision_imminent
+        veh = env.vehicle_state
+        traj_np = np.zeros((len(traj.x), 7))
+        traj_np[:, 0] = traj.time
+        traj_np[:, 2] = traj.x
+        traj_np[:, 3] = traj.y
+        traj_np[:, 6] = traj.orientation
+        l_veh = veh.rear_axis_to_front + veh.rear_axis_to_rear
+        if traj_collision_imminent(traj_np, env.predicted, veh.width,
+                                   l_veh, env.t,
+                                   min_closing_speed=params.screen_min_closing,
+                                   ignore_leading_aligned=True):
+            self.last_screen_hit = env.t
+        if env.t < self.last_screen_hit:  # time jumped backwards
+            self.last_screen_hit = -np.inf
+        traj.emergency = bool(
+            env.t - self.last_screen_hit < params.screen_hold_time)
 
     @runtime
     def update(self, sh_env):
@@ -140,6 +184,7 @@ class PathVelDecompPlanner(BasePlanner):
         traj.velocity = self.velocity_optim.v_opt
         traj.acceleration = self.velocity_optim.opt.u[:, 0].copy()
 
+        self.screen_trajectory(env, params)
         return self.trajectory
 
     def _update_fused(self, env, params):
@@ -187,4 +232,5 @@ class PathVelDecompPlanner(BasePlanner):
         traj.velocity = out["v_opt"]
         traj.acceleration = out["acc"][:T]
 
+        self.screen_trajectory(env, params)
         return self.trajectory

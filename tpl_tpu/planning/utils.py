@@ -30,7 +30,9 @@ def _object_chain(obj):
 
 
 def traj_collision_imminent(traj_np, objects, width_veh, length_veh,
-                            t_now, margin=0.1):
+                            t_now, margin=0.1, horizon=None,
+                            min_closing_speed=0.0,
+                            ignore_leading_aligned=False):
     """Conservative host-only screen of a planned trajectory against the
     latest predictions.
 
@@ -45,6 +47,22 @@ def traj_collision_imminent(traj_np, objects, width_veh, length_veh,
     traj_np: (N, >=7) with columns 0=t (absolute), 2=x, 3=y, 6=heading.
     objects: env.predicted (DynamicObject list with .predictions holding
         states (M, 5) = [t_rel, x, y, yaw, v]).
+    horizon: only screen plan points within this many seconds of t_now
+        (None = whole plan).
+    min_closing_speed: when > 0, a marginal chain overlap only counts if
+        the ego plan and the object are actually closing on each other at
+        that sample faster than this (m/s); deep penetrations (anchor
+        distance under half the combined radius) count regardless.
+    ignore_leading_aligned: skip overlaps against MOVING objects that are
+        heading-aligned with the ego plan at the overlap sample.  This is
+        the discriminator an emergency latch needs: the RSTP velocity
+        solver plans in the arc-length domain, so its receding-horizon
+        leader handling is safe even though the open-loop plan
+        legitimately catches up to — and passes through — the leader's
+        predicted position within the horizon (reference
+        velocity_optim.py:106-139 has the same open-loop property).
+        Oncoming, crossing and stationary threats — the cases the
+        s-domain solver does NOT govern — are always screened.
     Returns True if any object's predicted chain overlaps the ego chain.
     """
     if traj_np is None or len(traj_np) == 0 or not objects:
@@ -52,6 +70,8 @@ def traj_collision_imminent(traj_np, objects, width_veh, length_veh,
 
     rel_t = traj_np[:, 0] - t_now
     sel = rel_t >= -1e-6
+    if horizon is not None:
+        sel &= rel_t <= horizon
     if not np.any(sel):
         return False
     pts = traj_np[sel]
@@ -65,6 +85,14 @@ def traj_collision_imminent(traj_np, objects, width_veh, length_veh,
     ego_dir = np.stack([np.cos(pts[:, 6]), np.sin(pts[:, 6])], axis=-1)
     # (N, n_ego, 2)
     ego_cs = pts[:, None, 2:4] + ego_offs[None, :, None] * ego_dir[:, None]
+
+    ego_vel = None
+    if min_closing_speed > 0.0 and len(pts) > 1:
+        # ego plan velocity vectors by finite differences over plan time
+        dts = np.gradient(rel_t)
+        dts = np.where(np.abs(dts) < 1e-3, 1e-3, dts)
+        ego_vel = np.stack([np.gradient(pts[:, 2]) / dts,
+                            np.gradient(pts[:, 3]) / dts], axis=-1)
 
     for obj in objects:
         offs, r_obj = _object_chain(obj)
@@ -89,7 +117,39 @@ def traj_collision_imminent(traj_np, objects, width_veh, length_veh,
             ocs = np.stack([ox[cand], oy[cand]], axis=-1)[:, None, :] \
                 + offs[None, :, None] * od[:, None]
             diff = ego_cs[cand][:, :, None, :] - ocs[:, None, :, :]
-            dmin2 = np.min(np.sum(diff * diff, axis=-1))
-            if dmin2 < (r_ego + r_obj) ** 2:
+            d2s = np.min(np.sum(diff * diff, axis=-1), axis=(1, 2))
+            hit = d2s < (r_ego + r_obj) ** 2
+            if not np.any(hit):
+                continue
+            if not ignore_leading_aligned and min_closing_speed <= 0.0:
+                return True
+            idxs = np.flatnonzero(cand)[hit]
+            dx = ox[idxs] - pts[idxs, 2]
+            dy = oy[idxs] - pts[idxs, 3]
+            dist = np.maximum(np.hypot(dx, dy), 1e-6)
+            oyaw = np.interp(rel_t[idxs], st[:, 0], np.unwrap(st[:, 3]))
+            ov = np.interp(rel_t[idxs], st[:, 0], st[:, 4])
+            if ignore_leading_aligned:
+                # NO ahead/behind test: the s-domain plan legitimately
+                # passes through a slower leader's predicted position in
+                # open loop (the leader maps to a static arc position),
+                # leaving overlap samples on both sides of the object
+                ego_h = pts[idxs, 6]
+                aligned = np.cos(oyaw - ego_h) > 0.7
+                keep = ~(aligned & (ov > 1.0))
+                if not np.any(keep):
+                    continue
+                idxs = idxs[keep]
+                dx, dy, dist = dx[keep], dy[keep], dist[keep]
+                oyaw, ov = oyaw[keep], ov[keep]
+            # deep penetration is a hit no matter the relative motion
+            if np.any(dist < 0.5 * (r_ego + r_obj)):
+                return True
+            if min_closing_speed <= 0.0 or ego_vel is None:
+                return True
+            rel_v = ego_vel[idxs] - np.stack(
+                [ov * np.cos(oyaw), ov * np.sin(oyaw)], axis=-1)
+            closing = (rel_v[:, 0] * dx + rel_v[:, 1] * dy) / dist
+            if np.any(closing >= min_closing_speed):
                 return True
     return False
