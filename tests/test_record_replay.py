@@ -66,3 +66,33 @@ def test_renderer(tmp_path):
     occ[0, 50:60, 8:12] = 1.0
     out = render_occ_map(occ, path=str(tmp_path / "occ.png"))
     assert (tmp_path / "occ.png").exists()
+
+
+def test_scene_renderer_components():
+    """The stateful renderer draws the full component set (tracked
+    objects + predictions + history, traffic lights, map items,
+    corridor overlay) without error and trails accumulate."""
+    np.random.seed(0)
+    from tpl_tpu.simulation import SimStandalone
+    from tpl_tpu.simulation.renderer import SceneRenderer
+
+    app_id = uuid.uuid4().hex[:8]
+    # urban scenario: traffic light + crosswalk + crossing traffic
+    sim = SimStandalone(app_id=app_id, scenario_path="demo/urban_light")
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+
+    renderer = SceneRenderer(history_len=10)
+    for _ in range(12):
+        sim.update()
+    with sim.core.sh_state.lock():
+        s = sim.core.sh_state.sim
+        frame = renderer(sim.env_app.env, s,
+                         planners=sim.planning_app.sh_planners)
+        frame2 = renderer(sim.env_app.env, s,
+                          planners=sim.planning_app.sh_planners)
+    assert frame.ndim == 3 and frame.shape[2] == 3
+    assert frame2.shape == frame.shape
+    assert len(renderer.ego_history) == 2

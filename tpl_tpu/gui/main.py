@@ -429,12 +429,16 @@ class GuiServer:
         return out
 
     def scene_png(self):
-        from tpl_tpu.simulation.renderer import render_scene
+        from tpl_tpu.simulation.renderer import SceneRenderer
         import matplotlib.pyplot as plt
+        if not hasattr(self, "_scene_renderer"):
+            # stateful: keeps per-object history trails across requests
+            self._scene_renderer = SceneRenderer()
         sim = self._snapshot_sim()
         self.env.revalidate()
         self.planning_store.revalidate()
-        rgb = render_scene(self.env, sim, planners=self.planning_store)
+        rgb = self._scene_renderer(self.env, sim,
+                                   planners=self.planning_store)
         buf = io.BytesIO()
         plt.imsave(buf, rgb, format="png")
         return buf.getvalue()

@@ -1,10 +1,15 @@
 """
 Headless scene renderer: the framework's observability surface.
 
-Replaces the reference's imviz/imdash GUI (reference: library/tpl/gui/,
-library/tpl/simulation/renderer.py) with matplotlib renderings of the
-shared debug bundles: map boundaries, ego vehicle, traffic, planned
-trajectory, planner debug data (corridors, occupancy / distance grids).
+Replaces the reference's imviz/imdash GUI components (reference:
+library/tpl/gui/components/{vehicle,trajectory,dynamic_objects,
+map_objects,map_paths,traffic_lights}.py, library/tpl/simulation/
+renderer.py) with matplotlib renderings of the shared stores: map
+boundaries and items, ego vehicle, tracked dynamic objects with
+predictions and history trails, planned trajectory, planner debug data
+(corridors, occupancy / distance grids).  The view follows the ego
+(follow-cam).  The CARLA birdseye component has no counterpart here
+(no CARLA bridge in this build).
 """
 
 import os
@@ -18,7 +23,141 @@ import matplotlib.pyplot as plt  # noqa: E402
 from tpl_tpu.simulation.state import SimCar, SimEgo
 
 
-def render_scene(env, sim, planners=None, ax=None, window=120.0):
+def _draw_map(ax, local_map):
+    if local_map is None or local_map.path is None:
+        return
+    ax.plot(local_map.path[:, 0], local_map.path[:, 1],
+            "--", color="0.6", lw=0.8, label="ref line")
+    if local_map.boundary_left is not None:
+        ax.plot(local_map.boundary_left[:, 0],
+                local_map.boundary_left[:, 1], "k-", lw=1.0)
+    if local_map.boundary_right is not None:
+        ax.plot(local_map.boundary_right[:, 0],
+                local_map.boundary_right[:, 1], "k-", lw=1.0)
+
+
+_TL_COLORS = {0: "red", 1: "gold", 2: "limegreen", 3: "0.4"}
+
+
+def _draw_map_items(ax, local_map):
+    """Map items like the reference's MapObjects component: velocity
+    limits, traffic lights (colored by state), crosswalks, turn
+    indicator points, map switch points, intersection path segments."""
+    if local_map is None:
+        return
+    for vl in getattr(local_map, "velocity_limits", []):
+        tag = getattr(vl, "__tag__", "velocity_limit")
+        pos = np.asarray(vl.pos)
+        if tag == "traffic_light":
+            c = _TL_COLORS.get(int(getattr(vl, "state", 3)), "0.4")
+            ax.plot(*pos, "o", color=c, ms=9, mec="k", zorder=6)
+        elif tag == "cross_walk":
+            corners = np.asarray(getattr(vl, "corners", np.zeros(0)))
+            if corners.size >= 6:
+                ax.fill(corners.reshape(-1, 2)[:, 0],
+                        corners.reshape(-1, 2)[:, 1],
+                        color="tab:purple", alpha=0.25, zorder=2)
+            ax.plot(*pos, "s", color="tab:purple", ms=6, zorder=6)
+        else:
+            ax.plot(*pos, "v", color="tab:red", ms=7, zorder=6)
+            ax.annotate(f"{getattr(vl, 'limit', 0.0):.0f}",
+                        pos, fontsize=7, ha="center",
+                        xytext=(0, 6), textcoords="offset points")
+    for tp in getattr(local_map, "turn_ind_points", []):
+        ax.plot(*np.asarray(tp.pos), "1", color="tab:cyan", ms=8, zorder=6)
+    for mp in getattr(local_map, "map_switch_points", []):
+        ax.plot(*np.asarray(mp.pos), "P", color="tab:brown", ms=6, zorder=6)
+    for ip in getattr(local_map, "intersection_paths", []):
+        seg = getattr(ip, "map_segment", None)
+        if seg is not None and getattr(seg, "path", None) is not None:
+            ax.plot(seg.path[:, 0], seg.path[:, 1], "-",
+                    color="tab:olive", lw=1.0, alpha=0.8, zorder=2)
+        ax.plot(*np.asarray(ip.stop_pos), "x", color="tab:olive",
+                ms=7, zorder=6)
+
+
+def _draw_tracked_objects(ax, objects):
+    """Tracked/predicted objects like the reference's DynamicObjects
+    component: hull footprint, velocity arrow, prediction polylines."""
+    labeled = False
+    for obj in objects or []:
+        hull = np.asarray(getattr(obj, "hull", np.zeros((0, 2))))
+        pos = np.asarray(obj.pos)
+        if len(hull) >= 3:
+            ax.fill(hull[:, 0], hull[:, 1], color="tab:red", alpha=0.45,
+                    zorder=4, label=None if labeled else "tracked")
+            labeled = True
+        v = float(getattr(obj, "v", 0.0) or 0.0)
+        yaw = getattr(obj, "yaw", None)
+        if yaw is not None and v > 0.3:
+            ax.arrow(pos[0], pos[1], v * np.cos(yaw), v * np.sin(yaw),
+                     head_width=0.6, color="tab:red", alpha=0.8, zorder=5)
+        for pred in getattr(obj, "predictions", []) or []:
+            st = np.asarray(pred.states)
+            if len(st) > 1:
+                ax.plot(st[:, 1], st[:, 2], ":", color="tab:red",
+                        lw=1.0, alpha=0.7, zorder=3)
+
+
+def _draw_corridor(ax, local_map, debug):
+    """RSTP corridor overlay from the planner's shared debug bundle
+    (reference GUI renders the same arrays from the planning store)."""
+    d_lo = np.asarray(getattr(debug, "d_lower_constr", np.zeros(0))).ravel()
+    d_up = np.asarray(getattr(debug, "d_upper_constr", np.zeros(0))).ravel()
+    if local_map is None or local_map.path is None or len(d_lo) < 2:
+        return
+    n = min(len(d_lo), len(d_up), len(local_map.path))
+    path = local_map.path[:n]
+    nx, ny = -np.sin(path[:, 2]), np.cos(path[:, 2])
+    # d_upper_constr = -d_left + w/2, d_lower_constr = -d_right + w/2:
+    # left edge at -d_upper along the left normal, right edge at d_lower
+    ax.plot(path[:, 0] - nx * d_up[:n], path[:, 1] - ny * d_up[:n],
+            color="tab:green", lw=0.8, alpha=0.6, zorder=2)
+    ax.plot(path[:, 0] + nx * d_lo[:n], path[:, 1] + ny * d_lo[:n],
+            color="tab:green", lw=0.8, alpha=0.6, zorder=2,
+            label="corridor")
+
+
+class SceneRenderer:
+    """Stateful renderer keeping per-object history trails across frames
+    (the reference DynamicObjects component's history feature)."""
+
+    def __init__(self, history_len=100):
+        self.history_len = history_len
+        self.ego_history = []
+        self.obj_history = {}
+
+    def _update_history(self, sim, objects):
+        self.ego_history.append((sim.ego.x, sim.ego.y))
+        self.ego_history = self.ego_history[-self.history_len:]
+        seen = set()
+        for obj in objects or []:
+            key = getattr(obj, "uuid", None) or id(obj)
+            seen.add(key)
+            h = self.obj_history.setdefault(key, [])
+            h.append(tuple(np.asarray(obj.pos)))
+            del h[:-self.history_len]
+        for key in list(self.obj_history):
+            if key not in seen:
+                del self.obj_history[key]
+
+    def render(self, env, sim, planners=None, ax=None, window=120.0):
+        with env.lock():
+            local_map = env.local_map
+            objects = list(env.predicted)
+        self._update_history(sim, objects)
+        return render_scene(
+            env, sim, planners=planners, ax=ax, window=window,
+            local_map=local_map, objects=objects,
+            ego_history=self.ego_history,
+            obj_history=list(self.obj_history.values()))
+
+    __call__ = render
+
+
+def render_scene(env, sim, planners=None, ax=None, window=120.0,
+                 local_map=None, objects=None,
+                 ego_history=None, obj_history=None):
     """Render the current scene around the ego; returns an RGB array."""
     own_fig = ax is None
     if own_fig:
@@ -26,32 +165,52 @@ def render_scene(env, sim, planners=None, ax=None, window=120.0):
     else:
         fig = ax.figure
 
-    with env.lock():
-        local_map = env.local_map
-        if local_map is not None and local_map.path is not None:
-            ax.plot(local_map.path[:, 0], local_map.path[:, 1],
-                    "--", color="0.6", lw=0.8, label="ref line")
-            ax.plot(local_map.boundary_left[:, 0],
-                    local_map.boundary_left[:, 1], "k-", lw=1.0)
-            ax.plot(local_map.boundary_right[:, 0],
-                    local_map.boundary_right[:, 1], "k-", lw=1.0)
+    if local_map is None or objects is None:
+        with env.lock():
+            local_map = env.local_map
+            objects = list(env.predicted)
 
-    # traffic
+    _draw_map(ax, local_map)
+    _draw_map_items(ax, local_map)
+
+    # history trails
+    for h in obj_history or []:
+        if len(h) > 1:
+            harr = np.asarray(h)
+            ax.plot(harr[:, 0], harr[:, 1], "-", color="tab:red",
+                    lw=0.6, alpha=0.35, zorder=1)
+    if ego_history and len(ego_history) > 1:
+        eh = np.asarray(ego_history)
+        ax.plot(eh[:, 0], eh[:, 1], "-", color="tab:blue",
+                lw=0.6, alpha=0.4, zorder=1)
+
+    # simulation ground truth traffic
     for sc in sim.cars:
         hull = SimCar.get_convex_hull(sc)
-        ax.fill(hull[:, 0], hull[:, 1], color="tab:orange", alpha=0.7)
+        ax.fill(hull[:, 0], hull[:, 1], color="tab:orange", alpha=0.5,
+                zorder=3)
+
+    _draw_tracked_objects(ax, objects)
 
     # ego
     hull = SimEgo.get_convex_hull(sim.ego)
     ax.fill(hull[:, 0], hull[:, 1], color="tab:blue", alpha=0.9,
-            label="ego")
+            zorder=5, label="ego")
 
-    # planned trajectory
+    # planned trajectory + planner debug overlays
     if planners is not None:
         with planners.lock():
             traj = getattr(planners, "trajectory", None)
+            active = getattr(planners, "active_planner", "")
+            debug = getattr(getattr(planners, active, None), "debug", None)
         if traj is not None and len(np.atleast_1d(traj.x)) > 1:
-            ax.plot(traj.x, traj.y, "g-", lw=2.0, label="plan")
+            emergency = bool(getattr(traj, "emergency", False))
+            ax.plot(traj.x, traj.y, "-",
+                    color="crimson" if emergency else "g", lw=2.0,
+                    zorder=4, label="plan (EMERGENCY)" if emergency
+                    else "plan")
+        if debug is not None:
+            _draw_corridor(ax, local_map, debug)
 
     ax.set_xlim(sim.ego.x - window / 2, sim.ego.x + window / 2)
     ax.set_ylim(sim.ego.y - window / 2, sim.ego.y + window / 2)
