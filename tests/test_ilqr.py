@@ -206,6 +206,53 @@ def test_batched_vmap_matches_sequential():
                                    np.asarray(s1.u), rtol=1e-6, atol=1e-8)
 
 
+def test_batched_lanes_general_nu_matches_vmap():
+    """nu=3 exercises the general linalg.solve path of the lanes engine."""
+    from tpl_tpu.optim import batched
+
+    def dynamics(x, u, t, dt, p):
+        return jnp.stack([u[0] + 0.3 * x[2], u[1] - 0.1 * x[0], u[2]])
+
+    def cost(x, u, t, dt, p):
+        return (x[0] ** 2 + 0.5 * x[1] ** 2 + 0.2 * x[2] ** 2
+                + 0.01 * (u[0] ** 2 + u[1] ** 2 + u[2] ** 2)
+                + 0.004 * u[0] * u[1] + 0.002 * u[1] * u[2])
+
+    prob = Problem("tri", nx=3, nu=3, nc=0, dynamics=dynamics, cost=cost)
+    B = 4
+    cfg = dict(
+        u_min=jnp.full((H, 3), -1.0),
+        u_max=jnp.full((H, 3), 1.0),
+        barrier_weight=jnp.ones(1),
+        lg_mult_limit=jnp.full(1, 1e30),
+        dt=jnp.asarray(DT),
+        T=jnp.asarray(H, jnp.int32),
+        max_iterations=jnp.asarray(15, jnp.int32),
+        max_lg_iterations=jnp.asarray(1, jnp.int32),
+        min_rel_cost_change=jnp.asarray(1e-12),
+    )
+
+    upd = make_update_fn(prob, H, dtype=jnp.float64, jit=False)
+    vupd = jax.jit(jax.vmap(upd, in_axes=(0, 0, None, None)))
+    x0s = jnp.array([[1.0, 0.0, -0.5], [2.0, -1.0, 0.2],
+                     [-3.0, 0.5, 1.0], [0.5, 2.0, -1.5]], jnp.float64)
+    states = jax.vmap(lambda _: init_state(prob, H, jnp.float64))(
+        jnp.arange(B))
+    vs, _ = vupd(states, x0s, {}, cfg)
+
+    bupd = batched.make_batched_update_fn(prob, H, B, dtype=jnp.float64)
+    x = jnp.zeros((H + 1, 3, B), jnp.float64)
+    u = jnp.zeros((H, 3, B), jnp.float64)
+    lam = jnp.zeros((H, 1, B), jnp.float64)
+    mu = jnp.zeros((B,), jnp.int32)
+    bx, bu, *_ = bupd(x, u, lam, mu, x0s.T, {}, cfg)
+
+    np.testing.assert_allclose(np.moveaxis(np.asarray(bu), -1, 0),
+                               np.asarray(vs.u), rtol=1e-6, atol=1e-8)
+    # control limits respected on the general path too
+    assert float(jnp.max(jnp.abs(bu))) <= 1.0 + 1e-9
+
+
 def test_solver_shift():
     prob, spec = problems.ref_line_smoother_k()
     s = Solver(prob, spec, horizon_max=10)

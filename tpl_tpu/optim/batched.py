@@ -173,7 +173,16 @@ def make_batched_update_fn(prob, horizon, batch, integrator=EULER,
             K0 = (d * Qux[0] - b * Qux[1]) * inv_det[None, :]
             K1 = (-b * Qux[0] + a * Qux[1]) * inv_det[None, :]
             return jnp.stack([k0, k1]), jnp.stack([K0, K1])
-        raise NotImplementedError("batched solve for nu > 2")
+        # general case (matches tpl_tpu.optim.ilqr.solve_action): batched
+        # LAPACK-style solve with the batch in the leading dim — nu > 2 is
+        # off the reference's analytic path, so exact lane layout matters
+        # less than correctness here
+        reg = jnp.moveaxis(Quu, -1, 0) \
+            + mu[:, None, None] * jnp.eye(nu, dtype=f32)
+        rhs = jnp.moveaxis(
+            jnp.concatenate([Qu[:, None, :], Qux], axis=1), -1, 0)
+        sol = -jnp.moveaxis(jnp.linalg.solve(reg, rhs), 0, -1)
+        return sol[:, 0, :], sol[:, 1:, :]
 
     # ---- rollouts ----
 
