@@ -135,6 +135,30 @@ def test_intersect_polygons():
     assert intersect_polygons(a, d)
 
 
+def test_intersect_polygons_batch_matches_scalar():
+    """Batched SAT must agree pair-for-pair with the scalar oracle over
+    random rotated rectangles vs a random convex polygon."""
+    from tpl_tpu.ops import intersect_polygons_batch, convex_hull
+
+    rng = np.random.default_rng(3)
+    poly = convex_hull(rng.normal(0, 2.0, (12, 2)))
+    box = np.array([[-2, -1], [2, -1], [2, 1], [-2, 1]], dtype=float)
+
+    yaws = rng.uniform(-np.pi, np.pi, 200)
+    pos = rng.uniform(-6, 6, (200, 2))
+    cs, sn = np.cos(yaws), np.sin(yaws)
+    rot = np.stack([np.stack([cs, -sn], -1), np.stack([sn, cs], -1)], -2)
+    hulls = np.einsum("ka,mba->mkb", box, rot) + pos[:, None, :]
+
+    got = intersect_polygons_batch(hulls, poly)
+    want = np.array([intersect_polygons(h, poly) for h in hulls])
+    assert got.dtype == bool and got.shape == (200,)
+    np.testing.assert_array_equal(got, want)
+    assert 0 < want.sum() < 200  # both classes exercised
+
+    assert intersect_polygons_batch(np.zeros((0, 4, 2)), poly).shape == (0,)
+
+
 def test_native_project_matches_numpy_core():
     """The C kernel must agree with the numpy oracle field-for-field."""
     from tpl_tpu import native

@@ -18,6 +18,7 @@ from tpl_tpu.ops.geometry import (
     convex_hull,
     point_in_polygon,
     intersect_polygons,
+    intersect_polygons_batch,
 )
 from tpl_tpu.ops.splines import (
     PolyCubic,

@@ -503,3 +503,38 @@ def intersect_polygons(poly0, poly1):
     if len(poly1) == 1:
         return point_in_polygon(poly1[0], poly0)
     return not (_sat_separated(poly0, poly1) or _sat_separated(poly1, poly0))
+
+
+def intersect_polygons_batch(hulls, poly):
+    """Batched convex SAT: hulls (M, Ka, 2) each tested against one convex
+    poly (Kb, 2); returns (M,) bool intersection flags.  One vectorized
+    program instead of M scalar `intersect_polygons` calls — this is the
+    host-side batch twin used by the sampling planners' per-candidate
+    collision screens (reference does these per-pair in C++,
+    library/src/poly_sampling.cpp:192-258)."""
+    hulls = np.asarray(hulls, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)[:, :2]
+    if hulls.size == 0:
+        return np.zeros(0, dtype=bool)
+    if len(poly) < 2 or hulls.shape[1] < 2:
+        return np.array([intersect_polygons(h, poly) for h in hulls])
+
+    # axes from each hull's edges: (M, Ka, 2)
+    e_h = np.roll(hulls, -1, axis=1) - hulls
+    n_h = np.stack([-e_h[..., 1], e_h[..., 0]], axis=-1)
+    # hull projections onto own axes: (M, Ka_pts, Ka_axes)
+    p_hh = np.einsum("mka,mja->mkj", hulls, n_h)
+    # poly projections onto hull axes: (M, Kb, Ka_axes)
+    p_ph = np.einsum("ka,mja->mkj", poly, n_h)
+    sep_h = np.any((p_hh.max(axis=1) < p_ph.min(axis=1)) |
+                   (p_ph.max(axis=1) < p_hh.min(axis=1)), axis=1)
+
+    # axes from the poly's edges (shared): (Kb, 2)
+    e_p = np.roll(poly, -1, axis=0) - poly
+    n_p = np.stack([-e_p[:, 1], e_p[:, 0]], axis=1)
+    p_pp = poly @ n_p.T                       # (Kb_pts, Kb_axes)
+    p_hp = hulls @ n_p.T                      # (M, Ka, Kb_axes)
+    sep_p = np.any((p_pp.max(axis=0)[None] < p_hp.min(axis=1)) |
+                   (p_hp.max(axis=1) < p_pp.min(axis=0)[None]), axis=1)
+
+    return ~(sep_h | sep_p)

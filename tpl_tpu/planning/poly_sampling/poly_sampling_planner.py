@@ -17,7 +17,7 @@ import numpy as np
 from tpl_tpu import util
 from tpl_tpu.util import Bundle
 from tpl_tpu.ops import (
-    rampify_profile, curv_to_vel_profile, intersect_polygons,
+    rampify_profile, curv_to_vel_profile, intersect_polygons_batch,
 )
 from tpl_tpu.ops.splines import PolyQuintic, PolyQuartic
 from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
@@ -165,7 +165,8 @@ def _eval_candidates(start, path, obstacles, pp):
         [-pp.rear_axis_to_rear, pp.width_ego / 2]])
 
     if obstacles:
-        # coarse circle prefilter before exact SAT checks
+        # coarse circle prefilter, then ONE batched SAT program over all
+        # near (candidate, step) poses per obstacle
         r_ego = np.max(np.linalg.norm(hull_ego, axis=1))
         for o in obstacles:
             hull_o = np.asarray(o["hull"])
@@ -174,12 +175,16 @@ def _eval_candidates(start, path, obstacles, pp):
             c_o = np.mean(hull_o, axis=0)
             r_o = np.max(np.linalg.norm(hull_o - c_o, axis=1))
             near = np.hypot(x - c_o[0], y - c_o[1]) < r_ego + r_o + 0.5
-            for ci, si in zip(*np.nonzero(near)):
-                cs, sn = np.cos(yaw[ci, si]), np.sin(yaw[ci, si])
-                rot = np.array([[cs, -sn], [sn, cs]])
-                h = hull_ego @ rot.T + np.array([x[ci, si], y[ci, si]])
-                if intersect_polygons(h, hull_o):
-                    cost[ci] += penalty
+            ci, si = np.nonzero(near)
+            if len(ci) == 0:
+                continue
+            cs, sn = np.cos(yaw[ci, si]), np.sin(yaw[ci, si])
+            rot = np.stack([np.stack([cs, -sn], -1),
+                            np.stack([sn, cs], -1)], -2)   # (M, 2, 2)
+            hulls = np.einsum("ka,mba->mkb", hull_ego, rot) \
+                + np.stack([x[ci, si], y[ci, si]], -1)[:, None, :]
+            hits = intersect_polygons_batch(hulls, hull_o)
+            np.add.at(cost, ci[hits], penalty)
 
     best = int(np.argmin(cost))
     return dict(t=ts, d=d[best], d_d=d_d[best], d_dd=d_dd[best],
