@@ -100,3 +100,11 @@ def test_full_scenario_idm_sampling():
     violation-free."""
     ticks, runtimes = _run_scenario("acc_2024/cv_3o", "idm_sampling_planner")
     assert ticks > 1000
+
+
+@pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")
+def test_full_scenario_poly_sampling():
+    """Full cv_3o with the Werling-style Frenet poly sampling planner:
+    finish the scene violation-free."""
+    ticks, runtimes = _run_scenario("acc_2024/cv_3o", "poly_sampling_planner")
+    assert ticks > 1000
