@@ -1,44 +1,140 @@
 """
-Lightweight multi-object tracker: map-gated detection filtering with
-hull-merge fusion, Hungarian association, constant-velocity Kalman filter
-with existence and stationary scores.
+Multi-object tracker built around a fixed-layout struct-of-arrays track
+bank: constant-velocity Kalman filtering, map-corridor detection gating,
+and hull fusion all run as single vectorized programs over the whole
+bank instead of per-track Python loops.
 
-(reference: library/tpl/environment/tracking_module.py)
+Behavioral parity target: the reference's per-object tracker
+(library/tpl/environment/tracking_module.py) — same gating radii,
+existence/stationary score dynamics, hull-extreme velocity recovery,
+and Hungarian association with per-detection fallback columns.
 """
-
-import copy
-import itertools
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from tpl_tpu import util
-from tpl_tpu.ops import project, intersect_polygons, convex_hull
+from tpl_tpu.ops import project_many, intersect_polygons, convex_hull
 from tpl_tpu.environment.detections import DynamicObject
 from tpl_tpu.util import snapshot
 
+GATE_COST_INF = 1e10
+BIRTH_COST = 1e4
+VEL_BLEND = 0.9          # old-velocity weight in the box-velocity blend
+ACC_BLEND = 0.9          # old-acceleration weight
 
-class Track:
 
-    ID_COUNTER = 10000
+class TrackBank:
+    """Struct-of-arrays storage for all live tracks (confirmed + tentative).
+
+    Numeric per-track fields live in packed numpy arrays so predict /
+    correct / scoring run as one vectorized expression over the bank.
+    Variable-length hulls stay in Python lists indexed by slot.
+    """
+
+    _next_id = 10001
 
     def __init__(self):
-        Track.ID_COUNTER += 1
-        self.id = Track.ID_COUNTER
-        self.t = 0.0
-        # x, y, v_x, v_y
-        self.state = np.zeros(4)
-        self.covar = np.diag([0.1, 0.1, 0.1, 0.1])
-        self.hull = np.zeros((0, 2))
-        self.hull_radius = 0.0
-        self.pos_prev = np.zeros(2)
-        self.hull_prev = np.zeros((0, 2))
-        self.v_abs = 0.0
-        self.a_abs = 0.0
-        self.heading = None
-        self.object_class = ""
-        self.existence = 0.15
-        self.stationary = 0.0
+        self.n = 0
+        self.ids = np.zeros(0, dtype=np.int64)
+        self.t = np.zeros(0)
+        self.kf_x = np.zeros((0, 4))       # [x, y, vx, vy]
+        self.kf_p = np.zeros((0, 4, 4))
+        self.v_abs = np.zeros(0)
+        self.a_abs = np.zeros(0)
+        self.heading = np.zeros(0)         # nan until first reliable value
+        self.existence = np.zeros(0)
+        self.stationary = np.zeros(0)
+        self.confirmed = np.zeros(0, dtype=bool)
+        self.hull_radius = np.zeros(0)
+        self.classes = []
+        self.hulls = []
+        self.hulls_prev = []
+
+    def spawn(self, det, existence):
+        """Append one tentative slot seeded from a detection."""
+        tid = TrackBank._next_id
+        TrackBank._next_id += 1
+        self.ids = np.append(self.ids, tid)
+        self.t = np.append(self.t, det.t)
+        x0 = np.array([det.pos[0], det.pos[1], 0.0, 0.0])
+        self.kf_x = np.concatenate([self.kf_x, x0[None]], axis=0)
+        p0 = np.diag([0.1, 0.1, 0.1, 0.1])
+        self.kf_p = np.concatenate([self.kf_p, p0[None]], axis=0)
+        self.v_abs = np.append(self.v_abs, 0.0)
+        self.a_abs = np.append(self.a_abs, 0.0)
+        self.heading = np.append(self.heading, np.nan)
+        self.existence = np.append(self.existence, existence)
+        self.stationary = np.append(self.stationary, 0.0)
+        self.confirmed = np.append(self.confirmed, False)
+        self.hull_radius = np.append(self.hull_radius, det.hull_radius)
+        self.classes.append(det.object_class)
+        self.hulls.append(snapshot(det.hull))
+        self.hulls_prev.append(snapshot(det.hull))
+        self.n += 1
+
+    def compact(self, keep):
+        """Drop every slot where ``keep`` is False."""
+        keep = np.asarray(keep, dtype=bool)
+        if keep.all():
+            return
+        idx = np.flatnonzero(keep)
+        for name in ("ids", "t", "kf_x", "kf_p", "v_abs", "a_abs",
+                     "heading", "existence", "stationary", "confirmed",
+                     "hull_radius"):
+            setattr(self, name, getattr(self, name)[idx])
+        self.classes = [self.classes[i] for i in idx]
+        self.hulls = [self.hulls[i] for i in idx]
+        self.hulls_prev = [self.hulls_prev[i] for i in idx]
+        self.n = len(idx)
+
+
+def _fuse_overlapping(dets):
+    """Merge same-class detections whose hulls intersect.
+
+    Connected components under the "same class AND hulls intersect"
+    relation are merged via convex hull of the union; iterated to a
+    fixpoint because merged hulls can create new overlaps.
+    """
+    while True:
+        m = len(dets)
+        if m < 2:
+            return dets
+        parent = list(range(m))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        any_edge = False
+        for i in range(m):
+            for j in range(i + 1, m):
+                if dets[i].object_class != dets[j].object_class:
+                    continue
+                if find(i) == find(j):
+                    continue
+                if intersect_polygons(dets[i].hull, dets[j].hull):
+                    parent[find(j)] = find(i)
+                    any_edge = True
+        if not any_edge:
+            return dets
+
+        groups = {}
+        for i in range(m):
+            groups.setdefault(find(i), []).append(i)
+        fused = []
+        for members in groups.values():
+            d = dets[members[0]]
+            if len(members) > 1:
+                d.hull = convex_hull(
+                    np.vstack([dets[i].hull for i in members]))
+                d.pos = np.mean(d.hull, axis=0)
+                d.hull_radius = np.max(
+                    np.linalg.norm(d.hull - d.pos[None, :], axis=1))
+                d.on_local_map = any(dets[i].on_local_map for i in members)
+            fused.append(d)
+        dets = fused
 
 
 class TrackingModule:
@@ -46,229 +142,246 @@ class TrackingModule:
     def __init__(self):
         self.d_gating = 5.0
         self.d_gating_birth = 5.0
-        self.maps = []
-        self.tracks = []
-        self.tracks_new = []
         self.v_min = 0.5
         self.covar_meas = np.diag([0.01, 0.1])
         self.covar_proc = np.diag([0.01, 0.01, 0.02, 0.02])
+        self.bank = TrackBank()
         self.last_update_time = -1.0
         self.newest_det_time = 0.0
+        self.maps = []
 
-    def filter_detections(self, env):
-        """Drop stale/off-map detections, fuse overlapping hulls.
-        (tracking_module.py:65-126)"""
-        all_dets = env.ir_pc_dets.copy()
-        all_dets = [d for d in all_dets if d.t > self.newest_det_time]
-        if len(all_dets) > 0:
-            self.newest_det_time = max(d.t for d in all_dets)
-        if len(all_dets) == 0:
+    # ------------------------------------------------------------------
+    # detection preprocessing
+
+    def gate_detections(self, env):
+        """Keep fresh detections inside any relevant map corridor.
+
+        One batched projection per map covers all detections at once
+        (the reference projects one detection at a time,
+        tracking_module.py:65-126).
+        """
+        dets = [d for d in env.ir_pc_dets if d.t > self.newest_det_time]
+        if not dets:
             return []
+        self.newest_det_time = max(d.t for d in dets)
 
-        on_path_dets = []
-        for d in all_dets:
-            on_any_map = False
+        pos = np.array([d.pos for d in dets])           # (M, 2)
+        tol = np.array([d.hull_radius for d in dets])
+        tol = tol + np.array(
+            [2.0 if d.object_class == "pedestrian" else 0.0 for d in dets])
+
+        on_any = np.zeros(len(dets), dtype=bool)
+        for d in dets:
             d.on_local_map = False
-            for m in self.maps:
-                proj = project(m.path[:, :2], d.pos)
-                assoc_tol = d.hull_radius
-                if d.object_class == "pedestrian":
-                    assoc_tol += 2.0
-                left_bound = m.d_left[proj.index] + assoc_tol
-                right_bound = -m.d_right[proj.index] - assoc_tol
-                if not right_bound < proj.distance < left_bound:
-                    continue
-                on_any_map = True
-                if m.name == "local_map_behind":
-                    d.on_local_map = True
-            if on_any_map:
-                on_path_dets.append(d)
+        for m in self.maps:
+            pr = project_many(m.path[:, :2], pos)
+            lo = -m.d_right[pr["index"]] - tol
+            hi = m.d_left[pr["index"]] + tol
+            inside = (pr["distance"] > lo) & (pr["distance"] < hi)
+            on_any |= inside
+            if m.name == "local_map_behind":
+                for i in np.flatnonzero(inside):
+                    dets[i].on_local_map = True
 
-        while True:
-            did_merge = False
-            for d, o in itertools.combinations(list(on_path_dets), 2):
-                if d.object_class != o.object_class:
-                    continue
-                if o not in on_path_dets:
-                    continue
-                if intersect_polygons(d.hull, o.hull):
-                    d.hull = convex_hull(np.vstack((d.hull, o.hull)))
-                    d.pos = np.mean(d.hull, axis=0)
-                    d.hull_radius = np.max(np.linalg.norm(
-                        d.hull - d.pos[None, :], axis=1))
-                    try:
-                        on_path_dets.remove(o)
-                    except ValueError:
-                        pass
-                    did_merge = True
-            if not did_merge:
-                break
-        return on_path_dets
+        return _fuse_overlapping(
+            [d for i, d in enumerate(dets) if on_any[i]])
 
-    def association(self, detections):
-        """Nearest-neighbor assignment with per-detection fallback columns.
-        (tracking_module.py:128-167)"""
-        assocs = {}
-        unused_dets = []
-        all_tracks = self.tracks + self.tracks_new
-        count_tracks = len(all_tracks)
-        count_dets = len(detections)
-        if count_tracks == 0:
-            return assocs, detections
+    # ------------------------------------------------------------------
+    # association
 
-        mat_costs = np.full((count_dets, count_tracks + count_dets), 1e4)
-        for i, det in enumerate(detections):
-            for j, tr in enumerate(all_tracks):
-                if tr.t >= det.t or tr.object_class != det.object_class:
-                    mat_costs[i, j] = 1e10
-                    continue
-                d = np.linalg.norm(det.pos - tr.state[:2])
-                mat_costs[i, j] = d if d <= self.d_gating else 1e10
+    def associate(self, dets):
+        """Hungarian assignment of detections to bank slots.
 
-        _, assignment = linear_sum_assignment(mat_costs)
-        for i, track_idx in enumerate(assignment):
-            if track_idx < count_tracks:
-                assocs[all_tracks[track_idx].id] = detections[i]
-            else:
-                unused_dets.append(detections[i])
-        return assocs, unused_dets
+        Cost matrix built in one broadcast: gated euclidean distance,
+        with class/time mismatches forced out and one fallback birth
+        column per detection. Returns (slot_idx per det, -1 = birth).
+        """
+        bank = self.bank
+        m = len(dets)
+        if m == 0 or bank.n == 0:
+            return np.full(m, -1, dtype=np.int64)
 
-    def predict_tracks(self, dt):
-        F = np.eye(4)
-        F[0, 2] = dt
-        F[1, 3] = dt
-        for tr in self.tracks:
-            tr.state[:2] += dt * tr.state[2:]
-            tr.hull = tr.hull + dt * tr.state[None, 2:]
-            tr.covar = F @ tr.covar @ F.T + self.covar_proc
+        det_pos = np.array([d.pos for d in dets])               # (M, 2)
+        det_t = np.array([d.t for d in dets])
+        dist = np.linalg.norm(
+            det_pos[:, None, :] - bank.kf_x[None, :, :2], axis=2)
+        same_class = np.array(
+            [[bank.classes[j] == d.object_class for j in range(bank.n)]
+             for d in dets])
+        fresh = det_t[:, None] > bank.t[None, :]
+        gated = same_class & fresh & (dist <= self.d_gating)
+        cost = np.where(gated, dist, GATE_COST_INF)
 
-    def update_tracks(self, t, dt, veh, assocs):
-        """KF measurement update with hull-extremes velocity recovery.
-        (tracking_module.py:180-240)"""
-        for tr in self.tracks:
-            o = assocs.get(tr.id)
-            if o is None:
-                tr.existence = max(0.0, tr.existence - dt)
-                continue
-            dt_meas = o.t - tr.t
-            tr.existence = min(1.0, tr.existence + dt_meas)
-            tr.t = o.t
+        full = np.concatenate(
+            [cost, np.full((m, m), BIRTH_COST)], axis=1)
+        _, cols = linear_sum_assignment(full)
+        return np.where(cols < bank.n, cols, -1)
 
-            # velocity from the hull extreme that moved least: robust to
-            # partially visible hulls
-            hull_min_v = (np.min(o.hull, axis=0)
-                          - np.min(tr.hull_prev, axis=0)) / dt_meas
-            hull_max_v = (np.max(o.hull, axis=0)
-                          - np.max(tr.hull_prev, axis=0)) / dt_meas
-            v_box_x = hull_min_v[0] if abs(hull_min_v[0]) < abs(
-                hull_max_v[0]) else hull_max_v[0]
-            v_box_y = hull_min_v[1] if abs(hull_min_v[1]) < abs(
-                hull_max_v[1]) else hull_max_v[1]
+    # ------------------------------------------------------------------
+    # filtering
 
-            tr.state[:2] = np.mean(o.hull, axis=0)
-            tr.state[2] = tr.state[2] * 0.9 + v_box_x * 0.1
-            tr.state[3] = tr.state[3] * 0.9 + v_box_y * 0.1
+    def predict(self, dt):
+        """CV prediction over the confirmed slice of the bank, one shot."""
+        bank = self.bank
+        c = bank.confirmed
+        if not c.any():
+            return
+        bank.kf_x[c, :2] += dt * bank.kf_x[c, 2:]
+        f = np.eye(4)
+        f[0, 2] = f[1, 3] = dt
+        bank.kf_p[c] = np.einsum(
+            "ab,nbc,dc->nad", f, bank.kf_p[c], f) + self.covar_proc
+        for i in np.flatnonzero(c):
+            bank.hulls[i] = bank.hulls[i] + dt * bank.kf_x[i, None, 2:]
 
-            H = np.eye(4)[:2, :]
-            S = H @ tr.covar @ H.T + self.covar_meas
-            K = tr.covar @ H.T @ np.linalg.inv(S)
-            Z = np.eye(4) - K @ H
-            tr.covar = Z @ tr.covar
+    def correct(self, dets, det_slot, dt):
+        """Measurement update across the whole bank.
 
-            v_abs = np.linalg.norm(tr.state[2:])
-            a_abs = tr.a_abs * 0.9 + (v_abs - tr.v_abs) / dt_meas * 0.1
-            tr.v_abs = v_abs
-            tr.a_abs = a_abs
+        Associated confirmed slots get the KF position update with
+        hull-extreme velocity recovery; associated tentative slots get
+        confirmed with a finite-difference velocity seed; missed slots
+        decay their existence. All score updates are single masked
+        array expressions.
+        """
+        bank = self.bank
+        hit = np.zeros(bank.n, dtype=bool)
+        det_of = np.full(bank.n, -1, dtype=np.int64)
+        for di, si in enumerate(det_slot):
+            if si >= 0:
+                hit[si] = True
+                det_of[si] = di
 
-            tr.hull_prev = snapshot(o.hull)
-            tr.hull = snapshot(o.hull)
-            tr.hull_radius = o.hull_radius
-            tr.pos_prev = tr.state[:2].copy()
-
-            if tr.v_abs > self.v_min:
-                tr.heading = np.arctan2(tr.state[3], tr.state[2])
-            if tr.v_abs < self.v_min:
-                tr.stationary = min(1.0, tr.stationary + dt_meas)
-            else:
-                tr.stationary = max(0.0, tr.stationary - dt_meas)
-
-    def init_tracks(self, dt, assocs):
-        confirmed = []
-        for tr in self.tracks_new:
-            o = assocs.get(tr.id)
-            if o is None:
-                tr.existence = max(0.0, tr.existence - dt)
-                continue
-            dt_meas = o.t - tr.t
-            tr.existence = min(1.0, tr.existence + dt_meas)
-            if tr.object_class == "pedestrian":
-                tr.state[2:] = 0.0
-            else:
-                tr.state[2:] = (o.pos - tr.state[:2]) / (o.t - tr.t)
-            tr.t = o.t
-            tr.state[:2] = o.pos
-            tr.pos_prev = o.pos.copy()
-            tr.hull_prev = snapshot(o.hull)
-            tr.hull = snapshot(o.hull)
-            tr.hull_radius = o.hull_radius
-            confirmed.append(tr)
-        self.tracks += confirmed
-        self.tracks_new = [t for t in self.tracks_new if t not in confirmed]
-
-    def create_tracks(self, dets):
-        for o in dets:
-            tr = Track()
-            tr.t = o.t
-            tr.state[:2] = o.pos
-            tr.pos_prev = o.pos.copy()
-            tr.hull_prev = snapshot(o.hull)
-            tr.hull = snapshot(o.hull)
-            tr.hull_radius = o.hull_radius
-            tr.object_class = o.object_class
-            # conservative existence for objects on intersecting maps
-            tr.existence = 0.15 if o.on_local_map else 1.0
-            self.tracks_new.append(tr)
-
-    def update(self, env):
-        t = env.t
-        cmap = env.get_current_map()
-        if cmap is None or env.local_map is None:
+        # -- existence scores
+        miss = ~hit
+        bank.existence[miss] = np.maximum(0.0, bank.existence[miss] - dt)
+        if not hit.any():
             return
 
+        slots = np.flatnonzero(hit)
+        meas_t = np.array([dets[det_of[s]].t for s in slots])
+        dt_meas = meas_t - bank.t[slots]
+        bank.existence[slots] = np.minimum(
+            1.0, bank.existence[slots] + dt_meas)
+
+        was_confirmed = bank.confirmed[slots]
+
+        # -- confirmed slots: KF correct
+        for k, s in enumerate(slots):
+            d = dets[det_of[s]]
+            if not was_confirmed[k]:
+                continue
+            self._kf_correct(s, d, dt_meas[k])
+        # -- tentative slots: promote with finite-difference velocity
+        for k, s in enumerate(slots):
+            d = dets[det_of[s]]
+            if was_confirmed[k]:
+                continue
+            if bank.classes[s] == "pedestrian":
+                vel = np.zeros(2)
+            else:
+                vel = (d.pos - bank.kf_x[s, :2]) / dt_meas[k]
+            bank.kf_x[s] = np.array([d.pos[0], d.pos[1], vel[0], vel[1]])
+            bank.hulls_prev[s] = snapshot(d.hull)
+            bank.hulls[s] = snapshot(d.hull)
+            bank.hull_radius[s] = d.hull_radius
+            bank.confirmed[s] = True
+
+        bank.t[slots] = meas_t
+
+        # -- stationary / heading scores for confirmed hits, vectorized
+        conf_slots = slots[was_confirmed]
+        conf_dtm = dt_meas[was_confirmed]
+        if len(conf_slots):
+            v = bank.v_abs[conf_slots]
+            moving = v > self.v_min
+            bank.heading[conf_slots[moving]] = np.arctan2(
+                bank.kf_x[conf_slots[moving], 3],
+                bank.kf_x[conf_slots[moving], 2])
+            st = bank.stationary[conf_slots]
+            bank.stationary[conf_slots] = np.where(
+                v < self.v_min,
+                np.minimum(1.0, st + conf_dtm),
+                np.maximum(0.0, st - conf_dtm))
+
+    def _kf_correct(self, s, det, dt_meas):
+        """Position update + hull-extreme velocity blend for one slot."""
+        bank = self.bank
+        # the hull corner that moved least gives the most robust velocity
+        # estimate under partial occlusion (reference :180-240)
+        lo_v = (det.hull.min(axis=0)
+                - bank.hulls_prev[s].min(axis=0)) / dt_meas
+        hi_v = (det.hull.max(axis=0)
+                - bank.hulls_prev[s].max(axis=0)) / dt_meas
+        v_box = np.where(np.abs(lo_v) < np.abs(hi_v), lo_v, hi_v)
+
+        bank.kf_x[s, :2] = det.hull.mean(axis=0)
+        bank.kf_x[s, 2:] = (VEL_BLEND * bank.kf_x[s, 2:]
+                            + (1.0 - VEL_BLEND) * v_box)
+
+        p = bank.kf_p[s]
+        s_inn = p[:2, :2] + self.covar_meas
+        gain = p[:, :2] @ np.linalg.inv(s_inn)
+        bank.kf_p[s] = p - gain @ p[:2, :]
+
+        v_abs = np.linalg.norm(bank.kf_x[s, 2:])
+        bank.a_abs[s] = (ACC_BLEND * bank.a_abs[s]
+                         + (1.0 - ACC_BLEND)
+                         * (v_abs - bank.v_abs[s]) / dt_meas)
+        bank.v_abs[s] = v_abs
+
+        bank.hulls_prev[s] = snapshot(det.hull)
+        bank.hulls[s] = snapshot(det.hull)
+        bank.hull_radius[s] = det.hull_radius
+
+    # ------------------------------------------------------------------
+
+    def update(self, env):
+        if env.get_current_map() is None or env.local_map is None:
+            return
+
+        t = env.t
         dt = 0.0 if self.last_update_time < 0 else t - self.last_update_time
         self.last_update_time = t
 
         self.maps = env.get_relevant_maps()
-        self.predict_tracks(dt)
+        self.predict(dt)
 
-        dets = self.filter_detections(env)
-        assocs, dets = self.association(dets)
+        dets = self.gate_detections(env)
+        det_slot = self.associate(dets)
+        self.correct(dets, det_slot, dt)
 
-        self.update_tracks(env.t, dt, env.vehicle_state, assocs)
-        self.init_tracks(dt, assocs)
-        self.create_tracks(dets)
+        # births: unassociated detections open tentative slots; objects
+        # already on the ego corridor start near-dead so a second hit is
+        # required, anything merging in from another map is trusted at once
+        for di, si in enumerate(det_slot):
+            if si < 0:
+                d = dets[di]
+                self.bank.spawn(d, 0.15 if d.on_local_map else 1.0)
 
-        self.tracks_new = [tr for tr in self.tracks_new if tr.existence > 0]
-        self.tracks = [tr for tr in self.tracks if tr.existence > 0]
+        self.bank.compact(self.bank.existence > 0)
+        self.publish(env)
 
-        existing = {tr.id: tr for tr in getattr(env.tracks, "internal", [])}
-        updated = []
-        for tr in self.tracks:
-            do = existing.get(tr.id, None) or DynamicObject()
-            do.id = tr.id
-            do.t = tr.t
-            do.object_class = tr.object_class
-            do.pos = tr.state[:2]
-            do.v = tr.v_abs
-            do.a = tr.a_abs
-            if tr.heading is None:
-                do.yaw = np.arctan2(tr.state[3], tr.state[2])
+    def publish(self, env):
+        """Write confirmed tracks into env.tracks.internal as
+        DynamicObjects, reusing prior objects where ids persist."""
+        bank = self.bank
+        prior = {o.id: o for o in getattr(env.tracks, "internal", [])}
+        out = []
+        for s in np.flatnonzero(bank.confirmed):
+            obj = prior.get(bank.ids[s]) or DynamicObject()
+            obj.id = int(bank.ids[s])
+            obj.t = bank.t[s]
+            obj.object_class = bank.classes[s]
+            obj.pos = bank.kf_x[s, :2]
+            obj.v = bank.v_abs[s]
+            obj.a = bank.a_abs[s]
+            if np.isnan(bank.heading[s]):
+                obj.yaw = np.arctan2(bank.kf_x[s, 3], bank.kf_x[s, 2])
             else:
-                do.yaw = tr.heading
-            do.covar = tr.covar
-            do.hull = tr.hull
-            do.hull_radius = tr.hull_radius
-            do.stationary = tr.stationary == 1.0
-            updated.append(snapshot(do))
-
-        env.tracks.internal = updated
+                obj.yaw = bank.heading[s]
+            obj.covar = bank.kf_p[s]
+            obj.hull = bank.hulls[s]
+            obj.hull_radius = bank.hull_radius[s]
+            obj.stationary = bank.stationary[s] == 1.0
+            out.append(snapshot(obj))
+        env.tracks.internal = out

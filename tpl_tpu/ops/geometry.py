@@ -512,10 +512,12 @@ def intersect_polygons_batch(hulls, poly):
     host-side batch twin used by the sampling planners' per-candidate
     collision screens (reference does these per-pair in C++,
     library/src/poly_sampling.cpp:192-258)."""
-    hulls = np.asarray(hulls, dtype=np.float64)
+    hulls = np.asarray(hulls, dtype=np.float64)[..., :2]
     poly = np.asarray(poly, dtype=np.float64)[:, :2]
-    if hulls.size == 0:
+    if hulls.shape[0] == 0:
         return np.zeros(0, dtype=bool)
+    if hulls.shape[1] == 0:
+        return np.zeros(hulls.shape[0], dtype=bool)
     if len(poly) < 2 or hulls.shape[1] < 2:
         return np.array([intersect_polygons(h, poly) for h in hulls])
 
