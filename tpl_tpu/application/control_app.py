@@ -51,8 +51,9 @@ class ControlApp:
             self.sh_input.trajectory = ci.trajectory
 
         self.controllers = {}
-        controller_classes = [BaseController] + get_subclasses_recursive(
-            BaseController)
+        controller_classes = [BaseController] + [
+            cls for cls in get_subclasses_recursive(BaseController)
+            if not cls.__dict__.get("ABSTRACT", False)]
         controller_names = [to_snake_case(cls.__name__)
                             for cls in controller_classes]
 

@@ -1,11 +1,12 @@
-"""Trajectory passthrough controller: interpolates acceleration and
-curvature-derived steering directly from the planned trajectory.
-(reference: library/tpl/control/direct_controller.py)"""
+"""Trajectory passthrough controller: reads acceleration and
+curvature-derived steering straight off the planned trajectory at the
+dead-time-shifted lookup time. No feedback, no solve — the cheapest
+possible baseline controller.
 
-import copy
+Behavioral parity target: library/tpl/control/direct_controller.py.
+"""
 
 import numpy as np
-from scipy.interpolate import interp1d
 
 from tpl_tpu.control.base_controller import BaseController
 from tpl_tpu.planning.trajectory import Trajectory
@@ -20,48 +21,45 @@ class Params:
         self.steer_rate_max_abs = 1.0
 
 
+def _stationary_trajectory(veh):
+    out = Trajectory()
+    out.x = np.array([veh.x])
+    out.y = np.array([veh.y])
+    return out
+
+
 class DirectController(BaseController):
 
     def __init__(self, shared, lock_shared):
         self.shared = shared
         self.lock_shared = lock_shared
-
         with self.lock_shared():
             self.shared.params = Params()
 
-        self.con_traj = Trajectory()
-        self.last_update_time = 0.0
-        self.acc = 0.0
-        self.steering_angle = 0.0
+        self.command = (0.0, 0.0)
+        self.prev_t = 0.0
 
     def update(self, con_input):
-        t = con_input.t
         veh = con_input.vehicle
         traj = con_input.trajectory
+        placeholder = _stationary_trajectory(veh)
 
-        self.con_traj = Trajectory()
-        self.con_traj.x = np.array([veh.x])
-        self.con_traj.y = np.array([veh.y])
-
-        dt = t - self.last_update_time
-        self.last_update_time = t
+        dt = con_input.t - self.prev_t
+        self.prev_t = con_input.t
         if dt == 0 or len(traj.time) < 2:
-            return (self.acc, self.steering_angle), self.con_traj
+            return self.command, placeholder
 
         with self.lock_shared():
             params = snapshot(self.shared.params)
 
-        t_clip = min(traj.time[-1],
-                     max(traj.time[0], t + veh.dead_time_steer))
+        # sample the plan where the actuators will actually act
+        t_q = np.clip(con_input.t + veh.dead_time_steer,
+                      traj.time[0], traj.time[-1])
+        acc = np.interp(t_q, traj.time, traj.acceleration)
+        curv = np.interp(t_q, traj.time, traj.curvature)
+        steer = np.arctan(curv * veh.wheel_base)
 
-        acc = float(interp1d(traj.time, traj.acceleration,
-                             fill_value="extrapolate")(t_clip))
-        steering_angle = float(np.arctan(
-            interp1d(traj.time, traj.curvature,
-                     fill_value="extrapolate")(t_clip) * veh.wheel_base))
-
-        self.acc = min(params.a_max, max(params.a_min, acc))
-        self.steering_angle = min(veh.delta_max,
-                                  max(-veh.delta_max, steering_angle))
-
-        return (self.acc, self.steering_angle), self.con_traj
+        self.command = (
+            float(np.clip(acc, params.a_min, params.a_max)),
+            float(np.clip(steer, -veh.delta_max, veh.delta_max)))
+        return self.command, placeholder

@@ -1,32 +1,19 @@
 """
-Time-indexed MPC tracking controller with CoG slip-angle bicycle model and
-dead-time compensation.
-(reference: library/tpl/control/model_predictive_controller_time.py)
+Time-indexed MPC tracking controller: tracks (x, y, v)(t) directly on
+the planned trajectory's own time grid with a CoG slip-angle bicycle
+model. Built on the shared TrackingMpc template.
+
+Behavioral parity target:
+library/tpl/control/model_predictive_controller_time.py.
 """
 
-import copy
-
 import numpy as np
-import jax.numpy as jnp
 
 from tpl_tpu import util
-from tpl_tpu.util import runtime
 from tpl_tpu.optim import problems
-from tpl_tpu.optim.solver import Solver
-from tpl_tpu.control.base_controller import BaseController
-from tpl_tpu.planning.trajectory import Trajectory
-from tpl_tpu.util import snapshot
-
-
-class IdleCompensationParams:
-
-    def __init__(self):
-        self.active = False
-        self.min_acc = -2.0
-        self.jerk = -1.0
-        self.veh_thresh = 0.5
-        self.traj_thresh = 0.1
-        self.traj_look_ahead_steps = 5
+from tpl_tpu.util import Bundle
+from tpl_tpu.control.tracking_mpc import (
+    TrackingMpc, IdleCompensationParams)
 
 
 class CostFunctionParams:
@@ -67,147 +54,56 @@ class Params:
         self.idle_comp = IdleCompensationParams()
 
 
-class ModelPredictiveControllerTime(BaseController):
+class ModelPredictiveControllerTime(TrackingMpc):
 
-    def __init__(self, shared, lock_shared):
-        self.shared = shared
-        self.lock_shared = lock_shared
+    # state layout: [x, y, phi, delta, v, a] (CoG position)
+    IDX_ACC = 5
+    PARAMS = Params
 
-        prob, spec = problems.trajectory_tracking_mpc_time(ref_capacity=128)
-        self.opt = Solver(prob, spec, horizon_max=60,
-                  dtype=jnp.float64, device="cpu")
-        self.opt.integrator_type = self.opt.HEUN
-        self.opt.lg_mult_limit = 0.0
-        self.opt.barrier_weight[:] = 10000.0
+    def _make_problem(self):
+        return problems.trajectory_tracking_mpc_time(ref_capacity=128)
 
-        self.opt.params.v_ch = 32.0
-        self.opt.params.max_delta = 0.7
-
-        self.lat_dist_to_traj = 0.0
-        self.jerk = 0.0
-        self.dead_time_trajectory = np.zeros((0, 5))
-        self.controls = (0.0, 0.0)
-        self.con_traj = Trajectory()
-        self.last_update_time = 0.0
-        self.ctrl_vars_history = []
-        self.idle_comp_acc = 0.0
-        self.idle_comp_steer = 0.0
-
-        with self.lock_shared():
-            self.shared.params = Params()
-
-    @runtime
-    def update(self, con_input):
-        t = con_input.t
-        veh = con_input.vehicle
-        traj = con_input.trajectory
-
-        opt = self.opt
-
-        delta_time = t - self.last_update_time
+    def _on_tick(self, delta_time):
         if delta_time < 0.0:
-            self.ctrl_vars_history = []
+            self.history.clear()
 
-        with self.lock_shared():
-            params = snapshot(self.shared.params)
+    def _cycle_dt(self, params):
+        return params.cycle_time
 
-        if traj is None or len(traj.time) < 2:
-            return self.controls, self.con_traj
-
-        opt.u_min[:, 0] = params.jerk_min
-        opt.u_max[:, 0] = params.jerk_max
-        opt.u_min[:, 1] = params.steer_rate_min
-        opt.u_max[:, 1] = params.steer_rate_max
-        opt.params.min_acc = params.acc_min
-        opt.params.max_acc = params.acc_max
-
-        opt.params.merge(vars(params.cost_function))
-
-        # center UTM coordinates around the reference start: the solver
-        # traces in float32 on device, where the ulp at UTM magnitude
-        # (~5e6) is 0.5 m.  Positions only enter through differences, so
-        # a rigid translation is exact.
-        x_off, y_off = float(traj.x[0]), float(traj.y[0])
-
-        opt.horizon = params.horizon
-        opt.step = params.step
-        opt.max_iterations = params.max_iterations
-        opt.params.l = veh.wheel_base
-        opt.params.ref_x = np.asarray(traj.x) - x_off
-        opt.params.ref_y = np.asarray(traj.y) - y_off
-        opt.params.ref_phi = traj.orientation
-        opt.params.ref_v = traj.velocity
-        opt.params.ref_dt = params.ref_dt
-        opt.params.ref_t_offset = veh.dead_time_steer
-        opt.params.a_offset = 9.81 * np.sin(veh.pitch)
-        opt.params.cog_pos = params.cog_pos
-
+    def _make_reference(self, traj, veh, params):
         self.lat_dist_to_traj = util.project(
             np.vstack((traj.x, traj.y)).T, (veh.x, veh.y)).distance
+        # center UTM coordinates on the trajectory start (float32 device
+        # tracing; positions only enter through differences)
+        return Bundle(traj=traj,
+                      x_off=float(traj.x[0]), y_off=float(traj.y[0]))
 
-        # dead-time compensation through the issued-control history
-        x0 = np.array([
-            veh.x - x_off + np.cos(veh.phi) * params.cog_pos * veh.wheel_base,
-            veh.y - y_off + np.sin(veh.phi) * params.cog_pos * veh.wheel_base,
-            veh.phi,
-            veh.delta,
-            veh.v,
-            veh.a])
+    def _program_solver(self, veh, params, ref):
+        p = self.opt.params
+        traj = ref.traj
+        p.l = veh.wheel_base
+        p.ref_x = np.asarray(traj.x) - ref.x_off
+        p.ref_y = np.asarray(traj.y) - ref.y_off
+        p.ref_phi = traj.orientation
+        p.ref_v = traj.velocity
+        p.ref_dt = params.ref_dt
+        p.ref_t_offset = veh.dead_time_steer
+        p.a_offset = 9.81 * np.sin(veh.pitch)
+        p.cog_pos = params.cog_pos
 
-        if veh.dead_time_steer > 0.0:
-            x0s = []
-            rt = t
-            dead_time_index = int(veh.dead_time_steer / params.cycle_time
-                                  + 1e-5)
-            for acc, delta in self.ctrl_vars_history[-dead_time_index:]:
-                x0s.append(np.array([rt, *x0]))
-                x0[3] = delta
-                x0[5] = acc
-                x0 = opt.dynamics(x0, np.zeros(2), 0, params.cycle_time)
-                rt += params.cycle_time
-            x0s.append(np.array([rt, *x0]))
-            self.dead_time_trajectory = np.array(x0s)
+    def _initial_state(self, veh, params, ref):
+        lever = params.cog_pos * veh.wheel_base
+        return np.array([
+            veh.x - ref.x_off + np.cos(veh.phi) * lever,
+            veh.y - ref.y_off + np.sin(veh.phi) * lever,
+            veh.phi, veh.delta, veh.v, veh.a])
 
-        opt.x[0] = x0
-        opt.update()
-
-        steering_angle = opt.x[1][3]
-        steering_angle = min(veh.delta_max,
-                             max(-veh.delta_max, steering_angle))
-        acc = opt.x[1][5]
-        acc = min(params.acc_max, max(params.acc_min, acc))
-
-        if delta_time > 0.0:
-            self.ctrl_vars_history.append((acc, steering_angle))
-        if len(self.ctrl_vars_history) > 100:
-            self.ctrl_vars_history.pop(0)
-
-        self.last_update_time = t
-
+    def _idle_engaged(self, veh, params, ref):
         look = params.idle_comp.traj_look_ahead_steps
-        if params.idle_comp.active and (
-                veh.v < params.idle_comp.veh_thresh
-                and look < len(traj.velocity)
-                and traj.velocity[look] < params.idle_comp.traj_thresh):
-            self.idle_comp_acc += params.idle_comp.jerk * delta_time
-            steering_angle = self.idle_comp_steer
-        else:
-            self.idle_comp_steer = steering_angle
-            self.idle_comp_acc = 0.0
-        self.idle_comp_acc = min(0.0, max(params.idle_comp.min_acc,
-                                          self.idle_comp_acc))
-        acc += self.idle_comp_acc
+        v_ref = ref.traj.velocity
+        return look < len(v_ref) and v_ref[look] < params.idle_comp.traj_thresh
 
-        self.jerk = opt.u[0][0]
-        self.controls = (acc, steering_angle)
-
-        self.con_traj = Trajectory()
-        self.con_traj.time = t + np.arange(0, opt.T * opt.dt, opt.dt)
-        self.con_traj.x = opt.x[:-1, 0] + x_off
-        self.con_traj.y = opt.x[:-1, 1] + y_off
-        self.con_traj.orientation = opt.x[:-1, 2].copy()
-        self.con_traj.velocity = opt.x[:-1, 4].copy()
-        self.con_traj.curvature = np.tan(opt.x[:-1, 3]) / veh.wheel_base
-        self.con_traj.acceleration = opt.x[:, 5].copy()
-
-        return self.controls, self.con_traj
+    def _predicted_trajectory(self, t, veh, ref):
+        out = self._base_trajectory(t, veh, ref.x_off, ref.y_off)
+        out.acceleration = self.opt.x[:, 5].copy()
+        return out
