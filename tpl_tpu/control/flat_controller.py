@@ -1,28 +1,20 @@
 """
-Differential-flatness-based tracking controller with PI position loops and
-open-loop dead-time compensation.
-(reference: library/tpl/control/flat_controller.py)
+Differential-flatness tracking controller.
+
+The flat output is the rear-axle midpoint; tracking runs as two
+decoupled PI(+feedforward) loops on the flat coordinates, then the
+commands map back through the flatness transform. Dead time is
+compensated open-loop via the shared command log + closed-form rollout.
+
+Behavioral parity target: library/tpl/control/flat_controller.py.
 """
 
-import copy
-
 import numpy as np
-from scipy.interpolate import interp1d
 
 from tpl_tpu.control.base_controller import BaseController
+from tpl_tpu.control.openloop import StampedLog, compensate_dead_time
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.util import snapshot
-
-
-def sim_veh_model(x0, accs, steer_angles, wheel_base, dt):
-    x0 = x0.copy()
-    for i in range(len(accs)):
-        x0[0] += dt * x0[4] * np.cos(x0[2])
-        x0[1] += dt * x0[4] * np.sin(x0[2])
-        x0[2] += dt * x0[4] * np.tan(x0[3]) / wheel_base
-        x0[3] = steer_angles[i]
-        x0[4] += dt * accs[i]
-    return x0
 
 
 class Params:
@@ -37,128 +29,103 @@ class Params:
         self.step_comp_dead_time = 0.005
 
 
+# columns of the packed target sample
+TRG_X, TRG_Y, TRG_V, TRG_A, TRG_PHI, TRG_K = range(6)
+
+
 class FlatController(BaseController):
 
     def __init__(self, shared, lock_shared):
         self.shared = shared
         self.lock_shared = lock_shared
-
         with self.lock_shared():
             self.shared.params = Params()
 
-        self.con_traj = Trajectory()
-        self.ctrl_vars_history = []
-        self.last_update_time = 0.0
-        self.integrator_x = 0.0
-        self.integrator_y = 0.0
-        self.acc = 0.0
-        self.steering_angle = 0.0
+        self.log = StampedLog()
+        self.pos_int = np.zeros(2)     # clamped position-error integrators
+        self.command = (0.0, 0.0)
+        self.prev_t = 0.0
+
+    def _target(self, traj, t_q):
+        """Sample the packed target row at the (clipped) query time."""
+        table = np.column_stack([
+            traj.x, traj.y, traj.velocity, traj.acceleration,
+            np.unwrap(traj.orientation, period=2.0 * np.pi),
+            traj.curvature])
+        row = np.array([np.interp(t_q, traj.time, table[:, c])
+                        for c in range(table.shape[1])])
+        return None if np.any(np.isnan(row)) else row
 
     def update(self, con_input):
         t = con_input.t
         veh = con_input.vehicle
         traj = con_input.trajectory
 
-        self.con_traj = Trajectory()
-        self.con_traj.x = np.array([veh.x])
-        self.con_traj.y = np.array([veh.y])
+        placeholder = Trajectory()
+        placeholder.x = np.array([veh.x])
+        placeholder.y = np.array([veh.y])
 
-        dt = min(0.1, t - self.last_update_time)
+        dt = min(0.1, t - self.prev_t)
         if dt < 0.0:
             dt = 0
-            self.ctrl_vars_history = []
-
-        self.last_update_time = t
+            self.log.clear()
+        self.prev_t = t
         if dt == 0 or len(traj.time) < 2:
-            return (self.acc, self.steering_angle), self.con_traj
+            return self.command, placeholder
 
         with self.lock_shared():
             params = snapshot(self.shared.params)
 
-        # dead-time compensation
-        x0 = np.array([veh.x, veh.y, veh.phi, veh.delta, veh.v])
-        if len(self.ctrl_vars_history) > 0:
-            hist = np.array(self.ctrl_vars_history)
-            times = np.arange(t - veh.dead_time_steer, t,
-                              params.step_comp_dead_time)
-            if len(times):
-                accs = interp1d(hist[:, 0], hist[:, 1], kind="zero",
-                                fill_value="extrapolate")(times)
-                steers = interp1d(hist[:, 0], hist[:, 2], kind="zero",
-                                  fill_value="extrapolate")(times)
-                x0 = sim_veh_model(x0, accs, steers, veh.wheel_base,
-                                   params.step_comp_dead_time)
+        state = compensate_dead_time(
+            self.log, [veh.x, veh.y, veh.phi, veh.delta, veh.v],
+            t, veh.dead_time_steer, params.step_comp_dead_time,
+            veh.wheel_base)
 
-        arr_traj = np.zeros((len(traj.time), 6))
-        arr_traj[:, 0] = traj.x
-        arr_traj[:, 1] = traj.y
-        arr_traj[:, 2] = traj.velocity
-        arr_traj[:, 3] = traj.acceleration
-        arr_traj[:, 4] = np.unwrap(traj.orientation, period=np.pi * 2.0)
-        arr_traj[:, 5] = traj.curvature
+        t_q = np.clip(t + veh.dead_time_steer, traj.time[0], traj.time[-1])
+        trg = self._target(traj, t_q)
+        if trg is None:
+            return self.command, placeholder
 
-        t_clip = min(traj.time[-1],
-                     max(traj.time[0], t + veh.dead_time_steer))
-        tp = interp1d(traj.time, arr_traj, axis=0)(t_clip)
-        if np.any(np.isnan(tp)):
-            return (self.acc, self.steering_angle), self.con_traj
+        # flat target at the rear-axle midpoint: shift the reference pose
+        # back by the slip-corrected heading psi
+        beta = np.arcsin(np.clip(
+            trg[TRG_K] * veh.wheel_base * 0.5, -1.0, 1.0))
+        psi = trg[TRG_PHI] - beta
+        heading_vec = np.array([np.cos(psi), np.sin(psi)])
+        p_trg = trg[:2] - veh.wheel_base * 0.5 * heading_vec
+        pd_trg = trg[TRG_V] * heading_vec
+        pdd_trg = trg[TRG_A] * heading_vec
 
-        x_trg, y_trg, v_trg, a_trg, phi_trg, k_trg = tp
-
-        # flat output at the rear axle midpoint
-        beta = np.arcsin(np.clip(k_trg * veh.wheel_base * 0.5, -1.0, 1.0))
-        psi = phi_trg - beta
-
-        x_trg -= veh.wheel_base * 0.5 * np.cos(psi)
-        y_trg -= veh.wheel_base * 0.5 * np.sin(psi)
-        xd_trg = v_trg * np.cos(psi)
-        yd_trg = v_trg * np.sin(psi)
-        xdd_trg = a_trg * np.cos(psi)
-        ydd_trg = a_trg * np.sin(psi)
-
-        stopping = False
-        if x0[4] < 1.0:
-            x0[4] = 1.0
-            stopping = True
-
-        xd = x0[4] * np.cos(x0[2])
-        yd = x0[4] * np.sin(x0[2])
-
-        self.integrator_x = np.clip(
-            self.integrator_x + x0[0] - x_trg, -1.0, 1.0)
-        self.integrator_y = np.clip(
-            self.integrator_y + x0[1] - y_trg, -1.0, 1.0)
-
-        v1 = (xdd_trg - params.k_vel * (xd - xd_trg)
-              - params.k_pos * (x0[0] - x_trg)
-              - params.ki_pos * self.integrator_x)
-        v2 = (ydd_trg - params.k_vel * (yd - yd_trg)
-              - params.k_pos * (x0[1] - y_trg)
-              - params.ki_pos * self.integrator_y)
-
-        dir_sign = np.sign(x0[4])
-
-        acc = (xd * v1 + yd * v2) / np.sqrt(xd ** 2 + yd ** 2)
+        # regularize the flatness singularity at standstill
+        stopping = state[4] < 1.0
         if stopping:
-            steering_angle = self.steering_angle
+            state[4] = 1.0
+        pd = state[4] * np.array([np.cos(state[2]), np.sin(state[2])])
+
+        self.pos_int = np.clip(self.pos_int + state[:2] - p_trg, -1.0, 1.0)
+
+        # virtual flat-space acceleration command
+        u = (pdd_trg - params.k_vel * (pd - pd_trg)
+             - params.k_pos * (state[:2] - p_trg)
+             - params.ki_pos * self.pos_int)
+
+        speed_sq = pd @ pd
+        acc = (pd @ u) / np.sqrt(speed_sq)
+        prev_steer = self.command[1]
+        if stopping:
+            steer = prev_steer
         else:
-            steering_angle = np.arctan(
-                dir_sign * (xd * v2 - yd * v1) * veh.wheel_base
-                / ((xd ** 2 + yd ** 2) ** 1.5))
+            steer = np.arctan(np.sign(state[4]) * np.cross(pd, u)
+                              * veh.wheel_base / speed_sq ** 1.5)
 
-        steer_rate = np.clip(
-            (self.steering_angle - steering_angle) / dt,
-            -params.steer_rate_max_abs, params.steer_rate_max_abs)
-        self.steering_angle += steer_rate * dt
-
-        self.acc = min(params.a_max, max(params.a_min, acc))
-        self.steering_angle = min(veh.delta_max,
-                                  max(-veh.delta_max, steering_angle))
+        # note: the reference computes a steer-rate limit here but then
+        # overwrites it with the raw clipped command
+        # (flat_controller.py:149-156) — the effective behavior is the
+        # plain clamp below, which we implement directly
+        self.command = (
+            float(np.clip(acc, params.a_min, params.a_max)),
+            float(np.clip(steer, -veh.delta_max, veh.delta_max)))
 
         if dt > 0.0:
-            self.ctrl_vars_history.append(
-                (t, self.acc, self.steering_angle))
-        if len(self.ctrl_vars_history) > 500:
-            self.ctrl_vars_history.pop(0)
-
-        return (self.acc, self.steering_angle), self.con_traj
+            self.log.push(t, *self.command)
+        return self.command, placeholder

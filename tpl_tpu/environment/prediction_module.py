@@ -1,65 +1,64 @@
 """
-Constant-velocity prediction: associates tracks to maps via a corridor
-test, drops tracks behind the ego, and predicts either along the map path
-or in place. (reference: library/tpl/environment/prediction_module.py)
+Constant-velocity prediction over map corridors.
+
+Both predictors are closed-form array programs: the along-path variant
+exploits that CV speed is constant over the horizon, so all arc-length
+stations are known upfront and every channel (position, heading) is one
+batched equally-spaced lerp — no per-step loop.
+
+Behavioral parity target:
+library/tpl/environment/prediction_module.py:41-234.
 """
 
 import numpy as np
 
-from tpl_tpu import util
-from tpl_tpu.ops import project
-from tpl_tpu.ops.interp import lerp_xs, short_angle_dist
+from tpl_tpu.ops import project, project_many
+from tpl_tpu.ops.interp import lerp_xs
 from tpl_tpu.environment.detections import Prediction
 
-
-def _lerp(x, xs, ys, angle=False, clip_alpha=False):
-    """Equally-spaced interp over arbitrary channel arrays
-    (prediction_module.py:10-38)."""
-    return lerp_xs(x, xs, ys, angle=angle, clip_alpha=clip_alpha)
+# state row layout shared by both predictors
+T, X, Y, YAW, V = range(5)
 
 
 def calc_pred_cv(x0, dt, horizon):
-    """Constant-velocity prediction in place. (prediction_module.py:41-55)"""
-    l = int(horizon / dt) + 1
-    x = np.zeros((l, x0.shape[0]))
-    x[0] = x0
-    ts = np.arange(l) * dt
-    x[:, 0] = x0[0] + ts
-    x[:, 1] = x0[1] + ts * x0[4] * np.cos(x0[3])
-    x[:, 2] = x0[2] + ts * x0[4] * np.sin(x0[3])
-    x[:, 3] = x0[3]
-    x[:, 4] = x0[4]
-    return x
+    """In-place constant-velocity prediction (straight-line ballistic).
+    Returns (L, 5) rows [t, x, y, yaw, v]."""
+    ts = dt * np.arange(int(horizon / dt) + 1)
+    out = np.empty((len(ts), 5))
+    out[:, T] = x0[T] + ts
+    out[:, X] = x0[X] + ts * x0[V] * np.cos(x0[YAW])
+    out[:, Y] = x0[Y] + ts * x0[V] * np.sin(x0[YAW])
+    out[:, YAW] = x0[YAW]
+    out[:, V] = x0[V]
+    return out
 
 
 def calc_pred_cv_path(x0, d0, s0, path, dt, horizon, clip_pos_alpha=False):
-    """Constant-velocity prediction along a map path, keeping the lateral
-    offset d0. (prediction_module.py:58-84)"""
-    s = s0
-    d = d0
+    """Constant-velocity prediction riding a map path at lateral offset
+    ``d0``. Fully vectorized: the projected speed is constant, so the
+    visited stations are ``s0 + v·dt·i`` and all lookups batch."""
+    steps = int(horizon / dt) + 1
+    ts = dt * np.arange(steps)
 
-    heading = _lerp(s, path[:, 3], path[:, 2], angle=True, clip_alpha=True)
-    cos_angle_dist = np.cos(x0[3] - heading)
+    yaw0 = lerp_xs(s0, path[:, 3], path[:, 2], angle=True, clip_alpha=True)
+    cos_angle_dist = np.cos(x0[YAW] - yaw0)
+    v_path = x0[V] * cos_angle_dist
 
-    l = int(horizon / dt) + 1
-    x = np.zeros((l, x0.shape[0]))
-    x[0] = x0
-    x[0, 3] = heading
-    x[0, 4] = x0[4] * cos_angle_dist
+    stations = s0 + v_path * ts
+    headings = lerp_xs(stations, path[:, 3], path[:, 2],
+                       angle=True, clip_alpha=True)
+    anchors = np.asarray(lerp_xs(stations, path[:, 3], path[:, :2],
+                                 clip_alpha=clip_pos_alpha), dtype=float)
+    normals = np.stack([-np.sin(headings), np.cos(headings)], axis=1)
 
-    for i in range(l - 1):
-        s += dt * x[i, 4]
-        pos = np.array(_lerp(s, path[:, 3], path[:, :2],
-                             clip_alpha=clip_pos_alpha), dtype=np.float64)
-        heading = _lerp(s, path[:, 3], path[:, 2], angle=True,
-                        clip_alpha=True)
-        pos[0] += -np.sin(heading) * d
-        pos[1] += np.cos(heading) * d
-        x[i + 1, 0] = x[i, 0] + dt
-        x[i + 1, 1:3] = pos
-        x[i + 1, 3] = heading
-        x[i + 1, 4] = x[i, 4]
-    return x
+    out = np.empty((steps, 5))
+    out[:, T] = x0[T] + ts
+    out[:, X:Y + 1] = anchors + d0 * normals
+    out[:, YAW] = headings
+    out[:, V] = v_path
+    # row 0 keeps the measured position, only heading/speed are projected
+    out[0, X], out[0, Y] = x0[X], x0[Y]
+    return out
 
 
 class PredictionModule:
@@ -72,111 +71,119 @@ class PredictionModule:
         self.horizon_pred = 10.0
         self.pred_margin_acc = 0.2
 
-    def associate_maps_and_tracks(self, maps, tracks):
-        """(prediction_module.py:101-135)"""
-        for tr in tracks:
-            pos_mean = np.mean(tr.hull, axis=0)
+    # ------------------------------------------------------------------
+
+    def _corridor_test(self, m, track):
+        """Does the track's hull reach into map ``m``'s corridor?
+        Returns the center projection when it does, else None."""
+        center = project(m.path[:, :2], np.mean(track.hull, axis=0))
+        if not center.in_bounds:
+            return None
+        tol = track.hull_radius
+        if track.object_class == "pedestrian":
+            tol += self.pedestrian_assoc_tol
+        lo = -m.d_right[center.index] - tol
+        hi = m.d_left[center.index] + tol
+        if not lo < center.distance < hi:
+            return None
+
+        hull = project_many(m.path[:, :2], track.hull)
+        d = hull["distance"][hull["in_bounds"]]
+        if len(d) == 0:
+            return None
+        # the hull itself (without tolerance) must overlap the road
+        if d.max() < -m.d_right[center.index] \
+                or d.min() > m.d_left[center.index]:
+            return None
+        return center
+
+    def associate(self, maps, tracks):
+        for track in tracks:
             for m in maps.values():
-                proj = project(m.path[:, :2], pos_mean)
-                if not proj.in_bounds:
+                center = self._corridor_test(m, track)
+                if center is None:
                     continue
-                assoc_tol = tr.hull_radius
-                if tr.object_class == "pedestrian":
-                    assoc_tol += self.pedestrian_assoc_tol
-                left_bound = m.d_left[proj.index] + assoc_tol
-                right_bound = -m.d_right[proj.index] - assoc_tol
-                if not right_bound < proj.distance < left_bound:
-                    continue
-
-                projs_hull = project(m.path[:, :2], tr.hull)
-                projs_hull = [p for p in projs_hull if p.in_bounds]
-                if len(projs_hull) == 0:
-                    continue
-                dists = np.array([p.distance for p in projs_hull])
-                if (np.max(dists) < -m.d_right[proj.index]
-                        or np.min(dists) > m.d_left[proj.index]):
-                    continue
-
                 pred = Prediction()
-                pred.proj_assoc_map = proj
+                pred.proj_assoc_map = center
                 pred.uuid_assoc_map = m.uuid
-                pred.cos_angle_dist = np.cos(tr.yaw - proj.angle)
-                tr.predictions.append(pred)
+                pred.cos_angle_dist = np.cos(track.yaw - center.angle)
+                track.predictions.append(pred)
 
-    def clean_tracks(self, env, maps, tracks):
-        """Drop unassociated tracks and tracks behind the ego.
-        (prediction_module.py:137-169)"""
+    # ------------------------------------------------------------------
+
+    def drop_irrelevant(self, env, maps, tracks):
+        """Keep associated tracks that are not hopelessly behind the ego:
+        a track behind on a shared corridor is dropped when it occupies
+        the ego's lane or cannot catch up within ~5 s."""
         veh = env.vehicle_state
-        keep = []
-        for tr in tracks:
-            if len(tr.predictions) == 0:
-                continue
-            reject = False
-            for p in tr.predictions:
-                m = maps[p.uuid_assoc_map]
-                veh_proj = project(m.path[:, :2], [veh.x, veh.y])
-                if (veh_proj.distance > m.d_left[veh_proj.index]
-                        or veh_proj.distance < -m.d_right[veh_proj.index]):
-                    continue
-                dist = p.proj_assoc_map.arc_len - veh_proj.arc_len
-                if dist < -3.0:
-                    if abs(veh_proj.distance - p.proj_assoc_map.distance) < \
-                            (veh.width + 0.25):
-                        reject = True
-                        break
-                    temporal_dist = abs(dist) / max(0.001, abs(veh.v - tr.v))
-                    if temporal_dist > 5.0:
-                        reject = True
-                        break
-            if not reject:
-                keep.append(tr)
-        return keep
+        ego_proj = {uuid: project(m.path[:, :2], [veh.x, veh.y])
+                    for uuid, m in maps.items()}
 
-    def apply_predictions(self, maps, tracks):
-        """(prediction_module.py:171-219)"""
-        for tr in tracks:
-            pos_mean = np.mean(tr.hull, axis=0)
-            if tr.object_class == "pedestrian":
-                x0 = np.array([0.0, pos_mean[0], pos_mean[1], 0.0, 0.0])
+        def behind_and_hopeless(p, track_v):
+            m = maps[p.uuid_assoc_map]
+            ep = ego_proj[p.uuid_assoc_map]
+            if not -m.d_right[ep.index] <= ep.distance \
+                    <= m.d_left[ep.index]:
+                return False
+            lag = p.proj_assoc_map.arc_len - ep.arc_len
+            if lag >= -3.0:
+                return False
+            same_lane = abs(ep.distance - p.proj_assoc_map.distance) \
+                < veh.width + 0.25
+            return same_lane or abs(lag) / max(
+                0.001, abs(veh.v - track_v)) > 5.0
+
+        return [track for track in tracks
+                if track.predictions
+                and not any(behind_and_hopeless(p, track.v)
+                            for p in track.predictions)]
+
+    # ------------------------------------------------------------------
+
+    def predict(self, maps, tracks):
+        for track in tracks:
+            anchor = np.mean(track.hull, axis=0)
+            if track.object_class == "pedestrian":
+                x0 = np.array([0.0, anchor[0], anchor[1], 0.0, 0.0])
             else:
-                v_pred = 0.0 if tr.v < 0.5 else tr.v
-                x0 = np.array([0.0, pos_mean[0], pos_mean[1], tr.yaw,
-                               v_pred])
+                v = 0.0 if track.v < 0.5 else track.v
+                x0 = np.array([0.0, anchor[0], anchor[1], track.yaw, v])
 
-            for pred in tr.predictions:
-                pred_along_map = (
-                    tr.object_class != "pedestrian"
-                    and tr.v > self.limit_assoc_vel
-                    and abs(pred.cos_angle_dist) > self.limit_assoc_angle)
-                x0_p = x0.copy()
-                if pred_along_map:
-                    proj = pred.proj_assoc_map
+            for pred in track.predictions:
+                rides_path = (track.object_class != "pedestrian"
+                              and track.v > self.limit_assoc_vel
+                              and abs(pred.cos_angle_dist)
+                              > self.limit_assoc_angle)
+                if rides_path:
                     m = maps[pred.uuid_assoc_map]
-                    on_local_map = m.name == "local_map_behind"
+                    c = pred.proj_assoc_map
                     pred.states = calc_pred_cv_path(
-                        x0_p, proj.distance, proj.arc_len, m.path,
+                        x0.copy(), c.distance, c.arc_len, m.path,
                         self.dt_pred, self.horizon_pred,
-                        clip_pos_alpha=on_local_map)
+                        clip_pos_alpha=m.name == "local_map_behind")
                 else:
-                    x0_p[4] = 0.0
-                    pred.states = calc_pred_cv(x0_p, self.dt_pred,
-                                               self.horizon_pred)
+                    stationary = x0.copy()
+                    stationary[V] = 0.0
+                    pred.states = calc_pred_cv(
+                        stationary, self.dt_pred, self.horizon_pred)
 
-            path_preds = [p for p in tr.predictions if p.states[0, 4] != 0.0]
-            if len(path_preds) > 0:
-                tr.predictions = path_preds
-            non_reverse = [p for p in tr.predictions
-                           if p.cos_angle_dist > 0.0]
-            if len(non_reverse) > 0:
-                tr.predictions = non_reverse
+            # prefer along-path predictions, then forward-driving ones
+            moving = [p for p in track.predictions if p.states[0, V] != 0.0]
+            if moving:
+                track.predictions = moving
+            forward = [p for p in track.predictions
+                       if p.cos_angle_dist > 0.0]
+            if forward:
+                track.predictions = forward
+
+    # ------------------------------------------------------------------
 
     def update(self, env):
-        cmap = env.get_current_map()
-        if cmap is None or env.local_map is None:
+        if env.get_current_map() is None or env.local_map is None:
             return
         maps = {m.uuid: m for m in env.get_relevant_maps()}
         tracks = env.get_all_tracks()
-        self.associate_maps_and_tracks(maps, tracks)
-        tracks = self.clean_tracks(env, maps, tracks)
-        self.apply_predictions(maps, tracks)
+        self.associate(maps, tracks)
+        tracks = self.drop_irrelevant(env, maps, tracks)
+        self.predict(maps, tracks)
         env.predicted = tracks

@@ -1,6 +1,9 @@
 """
-RSTP stage 0 (alternative): local reference-line smoothing.
-(reference: library/tpl/planning/path_vel_decomp/path_smoothing.py)
+RSTP smooth-only stage: fit a curvature-controlled unicycle to the raw
+reference line, yielding a smoothed local path without corridor logic.
+
+Behavioral parity target:
+library/tpl/planning/path_vel_decomp/path_smoothing.py:36-83.
 """
 
 import numpy as np
@@ -8,6 +11,7 @@ import numpy as np
 from tpl_tpu.util import runtime
 from tpl_tpu.optim import problems
 from tpl_tpu.optim.solver import Solver
+from tpl_tpu.planning.path_vel_decomp.warm_start import ResetGate
 
 
 class Params:
@@ -23,53 +27,59 @@ class Params:
 
 
 class PathSmoothing:
+    """Tracks the reference polyline with states (x, y, phi) and the
+    curvature as the single control; the solve is a smoothing spline in
+    disguise, warm-shifted as the window slides."""
 
     def __init__(self, horizon_max=250):
         prob, spec = problems.ref_line_smoother_k(ref_capacity=512)
         self.opt = Solver(prob, spec, horizon_max=horizon_max, device="cpu")
         self.opt.lg_mult_limit = 0.1
         self.opt.barrier_weight[:] = 1000.0
-
+        self.gate = ResetGate()
         self.opt_path = np.zeros((1, 6))
-        self.reset_counter = 0
-        self.reset_required = False
+
+    # planner-facing reset hook (mirrors PathOptim's)
+    @property
+    def reset_required(self):
+        return self.gate.pending
+
+    @reset_required.setter
+    def reset_required(self, flag):
+        self.gate.pending = bool(flag)
 
     @runtime
     def update(self, env, params):
-        local_map = env.local_map
-        path_len = min(params.horizon, local_map.steps_ref)
-        path = local_map.path[:path_len]
+        window = env.local_map
+        n = min(params.horizon, window.steps_ref)
+        ref = window.path[:n]
 
         opt = self.opt
-        opt.horizon = path_len
+        opt.integrator_type = opt.EULER
+        opt.horizon = n
         opt.step = params.step
         opt.u_min[:] = params.k_min
         opt.u_max[:] = params.k_max
-        opt.integrator_type = opt.EULER
+        opt.params.merge(dict(
+            w_pos=params.w_pos, w_k=params.w_k,
+            ref_x=ref[:, 0], ref_y=ref[:, 1],
+            ref_step=window.step_size_ref))
 
-        opt.params.w_pos = params.w_pos
-        opt.params.w_k = params.w_k
-        opt.params.ref_x = path[:, 0]
-        opt.params.ref_y = path[:, 1]
-        opt.params.ref_step = local_map.step_size_ref
-
-        index_shift = local_map.shift_idx_start_ref
-
-        self.reset_required |= self.reset_counter != env.reset_counter
-        self.reset_counter = env.reset_counter
-
-        if self.reset_required or not 0 <= index_shift < path_len:
-            opt.x[0, :] = path[0, :3]
-            opt.u = path[:path_len, 4]
+        slid = window.shift_idx_start_ref
+        if self.gate.fire(env, shift=slid, n=n):
+            # cold start: seed pose and curvature from the raw line
+            opt.x[0, :] = ref[0, :3]
+            opt.u = ref[:n, 4]
         else:
-            opt.shift(index_shift)
-
-        self.reset_required = False
+            opt.shift(slid)
 
         opt.update()
 
-        self.opt_path = np.zeros((path_len, 6))
-        self.opt_path[:, :3] = opt.x[:-1, :3]
-        self.opt_path[:, 3] = local_map.path[:path_len, 3]
-        self.opt_path[:, 4] = opt.u[:, 0]
-        self.opt_path[:, 5] = local_map.path[:path_len, 5]
+        # smoothed pose from the states, curvature from the control,
+        # arc-length/velocity channels passed through from the window
+        out = np.zeros((n, 6))
+        out[:, :3] = opt.x[:-1, :3]
+        out[:, 4] = opt.u[:, 0]
+        out[:, 3] = ref[:, 3]
+        out[:, 5] = ref[:, 5]
+        self.opt_path = out

@@ -1,30 +1,28 @@
 """
-RSTP stage 2: velocity/time profile optimization along the optimized path.
+RSTP velocity stage: solve the space-domain velocity/time profile along
+the optimized path under map limits, a leader vehicle, and maneuver
+velocity/time windows.
 
-Warm starts are re-interpolated by the traveled arc length, a leader vehicle
-is selected by hull projection, map/maneuver velocity limits are rampified
-into a drivable reference, and maneuver time windows become solver
-constraints with velocity-weight shaping.
-(reference: library/tpl/planning/path_vel_decomp/velocity_optim.py)
+Structure: leader selection and time windows run as batched projections
+(one `project_many` per constraint set); warm starts are re-indexed by
+traveled arc length through the shared ArcShift; the reference profile
+is a jerk/acc-limited rampify of the stacked speed limits.
+
+Behavioral parity target:
+library/tpl/planning/path_vel_decomp/velocity_optim.py:86-300.
 """
 
 import numpy as np
-from scipy.interpolate import interp1d
 
 from tpl_tpu import util
 from tpl_tpu.util import runtime
 from tpl_tpu.optim import problems
 from tpl_tpu.optim.solver import Solver
-from tpl_tpu.environment import map_module
+from tpl_tpu.environment.map_module import add_vel_constraint
 from tpl_tpu.ops import rampify_profile, zero_after_first_zero
+from tpl_tpu.planning.path_vel_decomp.warm_start import ResetGate, ArcShift
 
-
-class TimeConstr:
-
-    def __init__(self, t=0.0, pos=None):
-        self.pos = np.array([0.0, 0.0]) if pos is None else pos
-        self.proj = util.Projection()
-        self.t = t
+FAR_AWAY = 1e6
 
 
 class CostFunctionParams:
@@ -61,6 +59,42 @@ class Params:
         self.cost_func = CostFunctionParams()
 
 
+def select_leader(path, tracks, veh, d_lat_assoc):
+    """Closest in-corridor object ahead of the ego along ``path``.
+
+    Each track's hull is projected in one batched call; a track
+    qualifies when its hull stays in bounds and reaches laterally into
+    the association corridor. Returns (s_leader, v_leader) with the
+    reference's quirk that the gap is ego-relative only for moving
+    leaders (velocity_optim.py:106-139).
+    """
+    s_leader, v_leader = FAR_AWAY, 0.0
+    ego_s = util.project(path[:, :2], (veh.x, veh.y)).arc_len
+
+    for o in tracks:
+        center = util.project(path[:, :2], o.pos)
+        if abs(center.distance) - o.hull_radius >= d_lat_assoc:
+            continue
+
+        hull = util.project_many(path[:, :2], o.hull)
+        if not hull["in_bounds"].all():
+            continue
+        d = hull["distance"]
+        one_sided = (d >= 0.0).all() or (d < 0.0).all()
+        if one_sided and np.abs(d).min() > d_lat_assoc:
+            continue
+
+        s_front = hull["arc_len"].min()
+        if s_front >= s_leader:
+            continue
+        s_leader = s_front
+        v_leader = max(0.0, o.v * np.cos(center.angle - o.yaw))
+        if v_leader > 0.5:
+            s_leader -= ego_s
+
+    return s_leader, v_leader
+
+
 class VelocityOptim:
 
     def __init__(self, horizon_max=250):
@@ -70,199 +104,148 @@ class VelocityOptim:
         self.opt.lg_mult_limit = 0.1
         self.opt.barrier_weight[:] = 1000.0
 
-        self.path_prev = None
-        self.ss = np.zeros(1)
-        self.shifts = np.zeros(1)
+        self.gate = ResetGate()
+        self.shifter = ArcShift()
 
+        # published profile channels (read by the planner/GUI)
         self.v_lim = np.zeros(1)
         self.v_ref = np.zeros((1, 2))
         self.v_opt = np.zeros(1)
         self.stop_mask = np.zeros(1)
-
-        self.s_leader = 10 ** 6
+        self.s_leader = FAR_AWAY
         self.v_leader = 0.0
 
-        self.reset_counter = 0
+    # ------------------------------------------------------------------
 
-        self.man_max_time_cons = []
-        self.man_min_time_cons = []
-
-    def update_shifts(self, path, params):
-        """(velocity_optim.py:86-96)"""
-        self.ss = np.arange(0.0, params.horizon * params.step, params.step)
-        if self.path_prev is not None:
-            p = util.project(self.path_prev[:, :2], path[0, :2])
-            self.shifts = self.ss + p.arc_len
-        else:
-            self.shifts = self.ss.copy()
-        self.path_prev = path
-
-    def shift_interp(self, arr, axis=0, interp_kind="linear"):
-        return interp1d(self.ss, arr, kind=interp_kind, axis=axis,
-                        fill_value="extrapolate")(self.shifts)
-
-    def update_leader(self, path, env, params):
-        """Closest in-corridor object ahead. (velocity_optim.py:106-139)"""
-        self.s_leader = 10.0 ** 6
-        self.v_leader = 0.0
-
-        veh = env.vehicle_state
-        d_lat_assoc = veh.width / 2.0 + params.d_lat_leader_safe
-        veh_proj = util.project(path[:, :2], (veh.x, veh.y))
-
-        for o in env.get_all_tracks():
-            proj = util.project(path[:, :2], o.pos)
-            if abs(proj.distance) - o.hull_radius >= d_lat_assoc:
-                continue
-
-            projs_hull = util.project(path[:, :2], o.hull)
-            if any(not p.in_bounds for p in projs_hull):
-                continue
-            dists = np.array([p.distance for p in projs_hull])
-            if np.all(dists >= 0.0) or np.all(dists < 0.0):
-                # hull entirely on one side of the path
-                min_dist = np.min(np.abs(dists))
-                if min_dist > d_lat_assoc:
-                    continue
-
-            d_lon_leader = np.min([p.arc_len for p in projs_hull])
-            if d_lon_leader >= self.s_leader:
-                continue
-            self.s_leader = d_lon_leader
-            self.v_leader = max(0.0, o.v * np.cos(proj.angle - o.yaw))
-            if self.v_leader > 0.5:
-                self.s_leader -= veh_proj.arc_len
-
-    @runtime
-    def update(self, path, env, params):
-        t = env.t
-        veh = env.vehicle_state
-
-        reset_required = self.reset_counter != env.reset_counter
-        self.reset_counter = env.reset_counter
-
-        params.horizon = min(len(path), params.horizon)
-
-        opt = self.opt
-        opt.integrator_type = opt.EULER
-        opt.horizon = params.horizon
-        opt.step = params.step
-        opt.params.ref_step = params.ref_step
-        opt.params.max_a_total = params.max_a_total
-        opt.u_max[:] = params.a_max
-        opt.u_min[:] = params.a_min
-
-        opt.params.merge(vars(params.cost_func))
-
-        self.update_shifts(path, params)
-        self.update_leader(path, env, params)
-
-        opt.x[:-1] = self.shift_interp(opt.x[:-1, :])
-        # normalize time channel start to 0 (required by time constraints)
-        opt.x[:, 1] -= opt.x[0, 1]
-        opt.u = self.shift_interp(opt.u, interp_kind="zero")
-        opt.lagrange_multiplier = self.shift_interp(opt.lagrange_multiplier)
-
-        # reference velocity from map profile + leader (velocity_optim.py:174-204)
-
+    def _speed_limits(self, path, env, params, step):
+        """Stack map profile, leader gap, and maneuver windows into one
+        per-step speed-limit array."""
         lim_v = path[:, 5].copy()
 
-        safety_dist = veh.rear_axis_to_front + params.min_d_safe
-        ld_safety_dist = self.v_leader * params.dt_safe + safety_dist
+        # leader: ramp the limit down toward the safety gap
+        standoff = (env.vehicle_state.rear_axis_to_front
+                    + params.min_d_safe)
+        gap_safe = self.v_leader * params.dt_safe + standoff
+        closing = min(4.0, self.v_leader / max(0.01, env.vehicle_state.v))
+        taper = self.s_leader / gap_safe * closing
+        add_vel_constraint(
+            lim_v, int((self.s_leader - gap_safe) / step),
+            self.v_leader * taper, length=20)
 
-        v_rel = min(4.0, self.v_leader / max(0.01, veh.v))
-        dist_rel = self.s_leader / ld_safety_dist * v_rel
+        # maneuver velocity windows between two anchor points
+        for pos1, pos2, v_cons in env.man_vel_cons:
+            a = util.project(path[:, :2], pos1).index
+            b = util.project(path[:, :2], pos2).index
+            add_vel_constraint(lim_v, a, v_cons, b - a, 0)
 
-        map_module.add_vel_constraint(
-            lim_v,
-            int((self.s_leader - ld_safety_dist) / opt.step),
-            self.v_leader * dist_rel,
-            length=20)
+        return lim_v
 
-        for pos1, pos2, cons_v in env.man_vel_cons:
-            proj1 = util.project(path[:, :2], pos1)
-            proj2 = util.project(path[:, :2], pos2)
-            map_module.add_vel_constraint(
-                lim_v, proj1.index, cons_v, proj2.index - proj1.index, 0)
-
-        # drivable reference profile (velocity_optim.py:206-224)
-
-        if self.v_ref.shape[0] != opt.horizon:
-            v_ref_new = np.zeros((opt.horizon, 2))
-            v_ref_new[0] = self.v_ref[0]
-            self.v_ref = v_ref_new
-
-        if reset_required:
-            self.v_ref[0, 0] = lim_v[0]
-            self.v_ref[0, 1] = 0.0
+    def _reference_profile(self, lim_v, params, step, horizon, cold):
+        """Jerk/acc-limited drivable profile under the stacked limits,
+        seeded from the previous tick's shifted profile head."""
+        if self.v_ref.shape[0] != horizon:
+            head = self.v_ref[0]
+            self.v_ref = np.zeros((horizon, 2))
+            self.v_ref[0] = head
+        if cold:
+            self.v_ref[0] = (lim_v[0], 0.0)
         else:
-            self.v_ref = self.shift_interp(self.v_ref)
-
+            self.v_ref = self.shifter.resample(self.v_ref)
         self.v_ref = rampify_profile(
             self.v_ref[0, 0], self.v_ref[0, 1], lim_v,
             params.a_min, params.a_max, params.j_min, params.j_max,
-            params.min_v_profile, opt.step)
+            params.min_v_profile, step)
 
-        if reset_required:
-            opt.x[0, 0] = veh.v
-            opt.x[0, 1] = veh.a
+    def _time_windows(self, path, env, params, t, horizon, step):
+        """Maneuver time constraints → per-step (t_min, t_max) arrays
+        plus the v-weight shaping that releases tracking before a
+        timed waypoint. One batched projection covers all anchors."""
+        t_max = np.full(horizon, 1e11)
+        t_min = np.zeros(horizon)
+        t_off = np.ones(horizon)
+        v_weight = np.ones(horizon)
 
-        opt.params.ref_v = self.v_ref[:, 0]
-        opt.params.ref_k = path[:, 4]
+        ego = util.project(path[:, :2], np.array(
+            [env.vehicle_state.x, env.vehicle_state.y]))
+        t_ego = ((1.0 - ego.alpha) * self.opt.x[ego.start, 1]
+                 + ego.alpha * self.opt.x[ego.end, 1])
+        clock_origin = t - t_ego
 
-        # time constraints (velocity_optim.py:235-287)
+        cons = list(env.man_time_cons)
+        if not cons:
+            return t_min, t_max, t_off, v_weight
 
-        ref_t_max = np.ones(opt.horizon) * 10e10
-        ref_t_min = np.zeros(opt.horizon)
-        ref_t_offset = np.ones(opt.horizon)
-        ref_v_weight = np.ones(opt.horizon)
+        anchors = np.array([pos for pos, _, _ in cons])
+        pr = util.project_many(path[:, :2], anchors)
+        grid = step * np.arange(horizon)
 
-        ep = util.project(path[:, :2], np.array([veh.x, veh.y]))
-        t_at_veh = ((1.0 - ep.alpha) * opt.x[ep.start, 1]
-                    + ep.alpha * opt.x[ep.end, 1])
-        time_at_traj_start = t - t_at_veh
-
-        self.man_min_time_cons = [
-            TimeConstr(pos=pos, t=t_min)
-            for pos, t_min, t_max in env.man_time_cons]
-        self.man_max_time_cons = [
-            TimeConstr(pos=pos, t=t_max)
-            for pos, t_min, t_max in env.man_time_cons]
-
-        for tc in self.man_min_time_cons:
-            tc.proj = util.project(path[:, :2], tc.pos)
-            idx = tc.proj.index
-            if idx >= opt.horizon - 1 or t > tc.t:
+        for k, (_, c_min, c_max) in enumerate(cons):
+            idx = pr["index"][k]
+            if idx >= horizon - 1:
                 continue
-            ref_t_min[idx] = max(0.0, tc.t - time_at_traj_start)
-            ref_t_offset[idx] = (tc.t - time_at_traj_start) - opt.x[idx, 1]
-            ss = np.arange(0, opt.horizon) * opt.step
-            rel_wp = tc.proj.arc_len - params.time_constr_alpha
-            ref_v_weight = np.minimum(
-                ref_v_weight,
-                ((ss - rel_wp) * params.time_constr_beta) ** 2)
+            if t <= c_min:
+                t_min[idx] = max(0.0, c_min - clock_origin)
+                t_off[idx] = (c_min - clock_origin) - self.opt.x[idx, 1]
+                anchor_s = pr["arc_len"][k] - params.time_constr_alpha
+                v_weight = np.minimum(
+                    v_weight,
+                    ((grid - anchor_s) * params.time_constr_beta) ** 2)
+            if t <= c_max:
+                t_max[idx] = max(0.0, c_max - clock_origin)
 
-        for tc in self.man_max_time_cons:
-            tc.proj = util.project(path[:, :2], tc.pos)
-            idx = tc.proj.index
-            if idx >= opt.horizon - 1 or t > tc.t:
-                continue
-            ref_t_max[idx] = max(0.0, tc.t - time_at_traj_start)
+        return t_min, t_max, t_off, v_weight
 
-        opt.params.ref_t_max = ref_t_max
-        opt.params.ref_t_min = ref_t_min
-        opt.params.ref_t_offset = ref_t_offset
-        opt.params.ref_v_weight = ref_v_weight
+    # ------------------------------------------------------------------
+
+    @runtime
+    def update(self, path, env, params):
+        veh = env.vehicle_state
+        params.horizon = min(len(path), params.horizon)
+        horizon, step = params.horizon, params.step
+        cold = self.gate.fire(env)
+
+        opt = self.opt
+        opt.integrator_type = opt.EULER
+        opt.horizon = horizon
+        opt.step = step
+        opt.u_min[:] = params.a_min
+        opt.u_max[:] = params.a_max
+        opt.params.merge(dict(
+            ref_step=params.ref_step, max_a_total=params.max_a_total,
+            **vars(params.cost_func)))
+
+        # warm-start re-indexing by traveled arc length
+        self.shifter.advance(path, step, horizon, util.project)
+        opt.x[:-1] = self.shifter.resample(opt.x[:-1, :])
+        opt.x[:, 1] -= opt.x[0, 1]    # time channel restarts at 0
+        opt.u = self.shifter.resample(opt.u, hold=True)
+        opt.lagrange_multiplier = self.shifter.resample(
+            opt.lagrange_multiplier)
+
+        self.s_leader, self.v_leader = select_leader(
+            path, env.get_all_tracks(), veh,
+            veh.width / 2.0 + params.d_lat_leader_safe)
+
+        lim_v = self._speed_limits(path, env, params, step)
+        self._reference_profile(lim_v, params, step, horizon, cold)
+
+        if cold:
+            opt.x[0, :2] = (veh.v, veh.a)
+
+        t_min, t_max, t_off, v_weight = self._time_windows(
+            path, env, params, env.t, horizon, step)
+
+        opt.params.merge(dict(
+            ref_v=self.v_ref[:, 0], ref_k=path[:, 4],
+            ref_t_min=t_min, ref_t_max=t_max,
+            ref_t_offset=t_off, ref_v_weight=v_weight))
 
         opt.update()
 
-        # stop mask kills the post-stop tail (velocity_optim.py:292-300)
-
-        self.stop_mask = ((lim_v >= params.min_v_profile)
-                          * ((ref_t_min - opt.x[:-1, 1] <= 0.0)
-                             | (opt.x[:-1, 0] > params.min_v_profile * 1.1)))
-        self.stop_mask = zero_after_first_zero(
-            self.stop_mask.astype(float))
-
+        # zero the profile tail after the first commanded stop
+        alive = ((lim_v >= params.min_v_profile)
+                 * ((t_min - opt.x[:-1, 1] <= 0.0)
+                    | (opt.x[:-1, 0] > params.min_v_profile * 1.1)))
+        self.stop_mask = zero_after_first_zero(alive.astype(float))
         self.v_lim = lim_v
-        self.v_opt = opt.x[:-1, 0].copy() * self.stop_mask
+        self.v_opt = opt.x[:-1, 0] * self.stop_mask

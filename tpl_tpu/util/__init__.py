@@ -23,6 +23,7 @@ from tpl_tpu.ops import (        # noqa: F401  (re-exports, util.py:12-22)
     intersect_polygons,
     convex_hull,
     project,
+    project_many,
     Projection,
     resample,
     interp_resampled_path,
