@@ -12,9 +12,8 @@ def test_planning_params_roundtrip(tmp_path, monkeypatch):
     from tpl_tpu.application.planning_app import (
         PlanningApp, load_planning_params, save_planning_params)
 
+    # param paths resolve through util.PATH_PARAMS at call time
     monkeypatch.setattr(util, "PATH_PARAMS", str(tmp_path))
-    import tpl_tpu.application.planning_app as pa
-    monkeypatch.setattr(pa.util, "PATH_PARAMS", str(tmp_path))
 
     from tpl_tpu.application.environment_app import EnvironmentApp
     env_app = EnvironmentApp(uuid.uuid4().hex[:8])

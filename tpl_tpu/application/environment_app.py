@@ -1,18 +1,20 @@
 """
-Environment application: local map windowing, tracking, prediction, and
-map item updates each tick.
-(reference: library/tpl/application/environment_app.py)
+Environment application: owns the shared environment store and runs the
+perception pipeline each tick.
+
+The tick is a fixed stage list over the env store: map windowing first
+(everything downstream works in the local-map frame), then the stateful
+filters (tracking, prediction — only when time actually advanced), then
+the derived map annotations.
+
+Behavioral parity target: library/tpl/application/environment_app.py.
 """
 
 import os.path as osp
 
 from tpl_tpu import util
 from tpl_tpu.environment import (
-    SharedEnvironmentState,
-    TrackingModule,
-    PredictionModule,
-    map_module,
-)
+    PredictionModule, SharedEnvironmentState, TrackingModule, map_module)
 
 
 class EnvironmentApp:
@@ -26,50 +28,61 @@ class EnvironmentApp:
             self.env.storage = "default"
             load_env_params(self.env, env_params_path)
 
+        self._fresh_perception()
+
+    def _fresh_perception(self):
+        """(Re)create the stateful perception filters."""
         self.tracking_module = TrackingModule()
         self.prediction_module = PredictionModule()
 
+    def _stages(self, fresh_time):
+        """The per-tick pipeline, in execution order.  The stateful
+        filters advance only on fresh timestamps: re-running a KF or a
+        predictor on a repeated clock would double-integrate."""
+        yield map_module.update_local_map
+        if fresh_time:
+            yield self.tracking_module.update
+            yield self.prediction_module.update
+        yield map_module.update_map_items
+        yield map_module.update_local_map_velocity
+        yield map_module.update_local_map_inters_paths
+
     def update(self, t):
-        with self.env.lock():
-            if t < self.last_time:
-                # reinit if time jumps backwards
-                self.tracking_module = TrackingModule()
-                self.prediction_module = PredictionModule()
-                self.last_time = 0.0
+        if t < self.last_time:
+            # time ran backwards (scenario reset / replay): every
+            # perception filter state is stale
+            self._fresh_perception()
+            self.last_time = 0.0
 
         with self.env.lock():
             self.env.t = t
-            map_module.update_local_map(self.env)
-            if self.last_time != t:
-                self.tracking_module.update(self.env)
-                self.prediction_module.update(self.env)
-            map_module.update_map_items(self.env)
-            map_module.update_local_map_velocity(self.env)
-            map_module.update_local_map_inters_paths(self.env)
+            for stage in self._stages(fresh_time=self.last_time != t):
+                stage(self.env)
 
         self.last_time = t
 
 
 def load_env_params(sh_env, path=None):
+    """Load an env param set (map store path + selected map) and the map
+    store it points at."""
     if path is None:
         path = getattr(sh_env, "storage", "default")
     if not path:
         return False
-    abs_path = util.resolve_data("params", osp.join("env", path))
-    data = util.load_state_dict(abs_path)
+    data = util.load_state_dict(
+        util.resolve_data("params", osp.join("env", path)))
     if data is None:
         return False
 
     sh_env.storage = path
-    if "map_store_path" in data:
-        sh_env.map_store_path = data["map_store_path"]
-    if "selected_map" in data:
-        sh_env.selected_map = data["selected_map"]
+    for key in ("map_store_path", "selected_map"):
+        if key in data:
+            setattr(sh_env, key, data[key])
 
-    map_store = map_module.load_map_store(sh_env.map_store_path)
-    if not list(util.get_obj_dict(map_store)):
+    maps = map_module.load_map_store(sh_env.map_store_path)
+    if list(util.get_obj_dict(maps)):
+        sh_env.maps = maps
+    else:
         sh_env.map_store_path = ""
         sh_env.maps = util.Bundle()
-    else:
-        sh_env.maps = map_store
     return True

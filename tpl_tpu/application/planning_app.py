@@ -1,110 +1,96 @@
 """
-Planning application: planner registry (subclass discovery + snake-case
-naming), active planner dispatch, trajectory publication, param loading.
-(reference: library/tpl/application/planning_app.py)
+Planning application: hosts the planner family, dispatches the active
+planner each tick, publishes the resulting trajectory, and survives
+accelerator loss by latching an emergency plan.
+
+Behavioral parity target: library/tpl/application/planning_app.py.
 """
 
 import time
-import copy
 import traceback
-import os.path as osp
 
 import jax
 
-from tpl_tpu import util
+from tpl_tpu.application.registry import (
+    ComponentRegistry, merge_param_set, save_param_set)
 from tpl_tpu.planning import BasePlanner, Trajectory
-from tpl_tpu.util import (
-    get_subclasses_recursive, to_snake_case, StoreRegistry, Bundle,
-    snapshot,
-)
+from tpl_tpu.util import StoreRegistry
 
 
 class PlanningApp:
 
     def __init__(self, app_id="", planning_params_path=None,
                  shared_env=None):
-        self.app_id = app_id
-        self.last_time = 0.0
-
-        self.planners = {}
-        planner_classes = [BasePlanner] + get_subclasses_recursive(
-            BasePlanner)
-        planner_names = [to_snake_case(cls.__name__)
-                         for cls in planner_classes]
-
         if shared_env is None:
             raise ValueError(
                 "PlanningApp requires shared_env (single-process build)")
+        self.app_id = app_id
         self.env = shared_env
-
-        self.sh_planners = StoreRegistry.get(f"/{self.app_id}tpl_planning")
-
-        with self.sh_planners.lock():
-            self.sh_planners.storage = "default"
-            self.sh_planners.runtime = 0.0
-            self.sh_planners.trajectory = Trajectory()
-            self.sh_planners.active_planner = planner_names[0]
-            self.sh_planners.planner_names = planner_names
-            for cls in planner_classes:
-                name = to_snake_case(cls.__name__)
-                setattr(self.sh_planners, name, Bundle())
-                state = getattr(self.sh_planners, name)
-                self.planners[name] = cls(state, self.sh_planners.lock)
-            load_planning_params(self.sh_planners, planning_params_path)
-
+        self.last_time = 0.0
         self.last_active_planner = ""
 
+        self.sh_planners = StoreRegistry.get(f"/{app_id}tpl_planning")
+        with self.sh_planners.lock():
+            self.registry = ComponentRegistry(
+                self.sh_planners, BasePlanner, kind="planning",
+                active_key="active_planner", names_key="planner_names")
+            self.sh_planners.runtime = 0.0
+            self.sh_planners.trajectory = Trajectory()
+            self.registry.load_params(planning_params_path)
+
+        self.planners = self.registry.by_name
+
+    def _run_planner(self, name, planner):
+        """One planner step, hardened against accelerator loss.
+
+        A TPU worker restart (preemption, tunnel drop) wipes all device
+        state, so a half-updated planner instance is unrecoverable in
+        place: publish an emergency trajectory — routed to
+        ConstAccController by the control app — and rebuild the planner
+        from scratch against the restarted device.  This extends the
+        reference's degrade-then-recover pattern
+        (dp_lat_lon_planner.py:170-176) to the accelerator itself.
+        """
+        try:
+            return planner.update(self.env)
+        except jax.errors.JaxRuntimeError:
+            traceback.print_exc()
+            print(f"[planning] device failure in {name}; latching "
+                  "emergency and rebuilding the planner", flush=True)
+            try:
+                self.planners[name] = type(planner)(
+                    planner.shared, planner.lock_shared)
+            except Exception:
+                traceback.print_exc()
+            emergency = Trajectory()
+            emergency.emergency = True
+            return emergency
+
     def update(self):
-        runtime_start = time.perf_counter()
+        tick_start = time.perf_counter()
 
         with self.env.lock():
-            do_update = self.last_time != self.env.t
             self.last_time = self.env.t
-        do_update = True
 
-        with self.sh_planners.lock():
-            active_planner = self.sh_planners.active_planner
-
-        if self.last_active_planner != active_planner:
+        name = self.registry.active_name()
+        if name != self.last_active_planner:
+            # planner switch: warm starts and reset counters of the
+            # outgoing planner are meaningless to the incoming one
             with self.env.lock():
                 self.env.reset()
-        self.last_active_planner = active_planner
+            self.last_active_planner = name
 
-        planner = self.planners.get(active_planner)
+        planner = self.registry.get(name)
+        trajectory = None if planner is None \
+            else self._run_planner(name, planner)
 
-        trajectory = None
-        if planner is not None and do_update:
-            try:
-                trajectory = planner.update(self.env)
-            except jax.errors.JaxRuntimeError:
-                # Device/tunnel failure (worker crash, preemption, RPC
-                # drop). The worker restart wipes all device state, so a
-                # half-updated planner instance is unrecoverable in
-                # place: publish an emergency trajectory (routed to
-                # ConstAccController, control_app.py) and rebuild the
-                # planner from scratch on the restarted device — the
-                # reference's degrade-then-recover pattern
-                # (dp_lat_lon_planner.py:170-176) extended to the
-                # accelerator itself, which the reference never loses.
-                traceback.print_exc()
-                print(f"[planning] device failure in {active_planner}; "
-                      "latching emergency and rebuilding the planner",
-                      flush=True)
-                trajectory = Trajectory()
-                trajectory.emergency = True
-                try:
-                    self.planners[active_planner] = type(planner)(
-                        planner.shared, planner.lock_shared)
-                except Exception:
-                    traceback.print_exc()
-
-        if hasattr(planner, "runtime"):
-            runtime = planner.runtime
-        elif hasattr(planner, "update") and hasattr(planner.update,
-                                                    "runtime"):
-            runtime = planner.update.runtime
-        else:
-            runtime = time.perf_counter() - runtime_start
+        # prefer the planner's own (device-side) timing when it has one
+        runtime = getattr(planner, "runtime", None)
+        if runtime is None:
+            runtime = getattr(getattr(planner, "update", None),
+                              "runtime", None)
+        if runtime is None:
+            runtime = time.perf_counter() - tick_start
 
         with self.sh_planners.lock():
             self.sh_planners.runtime = runtime
@@ -116,31 +102,9 @@ class PlanningApp:
 def load_planning_params(sh_planners, path=None):
     if path is None:
         path = getattr(sh_planners, "storage", "default")
-    if not path:
-        return
-    abs_path = util.resolve_data("params", osp.join("planning", path))
-    data = util.load_state_dict(abs_path)
-    if data is None:
-        return
-    if "active_planner" in data:
-        sh_planners.active_planner = data["active_planner"]
-    for name, sub in data.items():
-        if not isinstance(sub, dict) or "params" not in sub:
-            continue
-        state = getattr(sh_planners, name, None)
-        if state is None:
-            continue
-        if hasattr(state, "params"):
-            util.merge_into(state.params, sub["params"])
-    sh_planners.storage = path
+    merge_param_set(sh_planners, "planning", "active_planner", path)
 
 
 def save_planning_params(sh_planners):
-    params = Bundle()
-    params.active_planner = sh_planners.active_planner
-    for pn in sh_planners.planner_names:
-        state = getattr(sh_planners, pn, None)
-        if state is not None and hasattr(state, "params"):
-            params[pn] = Bundle(params=snapshot(state.params))
-    abs_path = osp.join(util.PATH_PARAMS, "planning", sh_planners.storage)
-    util.save_state_dict(params, abs_path)
+    save_param_set(sh_planners, "planning", "active_planner",
+                   sh_planners.planner_names)

@@ -2,9 +2,15 @@
 Map data model: global maps with boundaries and items, the sliding-window
 local map, map-store loading, and per-tick map item logic.
 
-(reference: library/tpl/environment/map_module.py — Map/LocalMap:161-240,
-copy_map_segment:243-280, reinit_map:283-421, update_local_map:462-530,
-velocity logic:533-629, update_map_items:632-811, load_map_store:822-851)
+Structure: one channel-lerp helper (`lerp_resampled`) and one
+discretization pass (`discretize_pass`) express every resampling in the
+module; the per-tick item logic is split per item type and vectorized
+where there is anything to vectorize (traffic-light vote).
+
+Behavior-parity target: library/tpl/environment/map_module.py
+(Map/LocalMap:161-240, copy_map_segment:243-280, reinit_map:283-421,
+update_local_map:462-530, velocity logic:533-629, items:632-811,
+load_map_store:822-851).
 """
 
 import os
@@ -16,10 +22,17 @@ import numpy as np
 from tpl_tpu import util
 from tpl_tpu.ops import (
     project, resample, interp_resampled_path, smooth_path_positions,
-    curv_to_vel_profile, zero_after_first_zero, add_vel_constraint,
+    curv_to_vel_profile, add_vel_constraint,
     intersect_polygons, short_angle_dist,
 )
 
+# columns of a discretized path: x, y, orientation, arc length s,
+# curvature, speed limit
+PATH_X, PATH_Y, PATH_PHI, PATH_S, PATH_K, PATH_V = range(6)
+
+
+# ---------------------------------------------------------------------------
+# map items (schema fixed by the objtoolbox store format)
 
 class VelocityLimit:
 
@@ -131,6 +144,9 @@ _ITEM_CLASSES = {
     "intersection_path": IntersectionPath,
 }
 
+_ITEM_LISTS = ("velocity_limits", "turn_ind_points", "map_switch_points",
+               "intersection_paths")
+
 
 class Map:
 
@@ -151,8 +167,7 @@ class Map:
         self.closed_path = False
 
         # computed by reinit_map
-        # discretized path, dims: x, y, orientation, s, curvature, speed_limit
-        self.path = None
+        self.path = None          # discretized, PATH_* columns
         self.boundary_left = None
         self.boundary_right = None
         self.d_left = None
@@ -166,10 +181,8 @@ class Map:
     def __savestate__(self):
         """Persist only source fields; path/boundaries are recomputed by
         reinit_map on load."""
-        keep = ("__tag__", "name", "uuid", "velocity_limits",
-                "turn_ind_points", "map_switch_points",
-                "intersection_paths", "control_points", "smoothing",
-                "step_size_discr", "closed_path")
+        keep = ("__tag__", "name", "uuid", "smoothing", "step_size_discr",
+                "closed_path", "control_points") + _ITEM_LISTS
         return {k: self.__dict__[k] for k in keep if k in self.__dict__}
 
 
@@ -177,7 +190,7 @@ class LocalMap(Map):
 
     def __init__(self):
         super().__init__("local_map")
-        # sliding window configuration (map_module.py:218-240)
+        # sliding window configuration (reference map_module.py:218-240)
         self.steps_ref = 400
         self.step_size_ref = 0.5
         self.idx_start_ref = 0
@@ -188,8 +201,70 @@ class LocalMap(Map):
         self.position_vehicle = 0.0
 
 
+def adopt_items_from(dst_map, src_map):
+    """Share (not copy) src_map's item lists — items carry live state
+    (projections, light states) that both views must observe."""
+    for attr in _ITEM_LISTS:
+        setattr(dst_map, attr, getattr(src_map, attr))
+
+
+# ---------------------------------------------------------------------------
+# resampling helpers
+
+def lerp_resampled(rsi, channel):
+    """Interpolate a per-vertex channel at resampled stations.
+
+    ``rsi`` rows are (x, y, alpha, idx_prev, idx_next) as produced by
+    :func:`tpl_tpu.ops.resample`.
+    """
+    c = np.asarray(channel).reshape(-1)
+    a = rsi[:, 2]
+    return c[rsi[:, 3].astype(int)] * (1.0 - a) + c[rsi[:, 4].astype(int)] * a
+
+
+def side_boundaries(path, d_left, d_right):
+    """Offset the centerline by the corridor half-widths along the
+    left-hand path normal; returns (boundary_left, boundary_right)."""
+    normal = np.stack([np.cos(path[:, PATH_PHI] + np.pi / 2),
+                       np.sin(path[:, PATH_PHI] + np.pi / 2)], axis=1)
+    center = path[:, :2]
+    return (center + d_left[:, None] * normal,
+            center - d_right[:, None] * normal)
+
+
+def polyline_headings(xy, closed):
+    """Per-vertex tangent angles; the last vertex wraps (closed) or
+    repeats (open)."""
+    d = np.diff(xy[:, :2], axis=0)
+    phi = np.empty(len(xy))
+    phi[:-1] = np.arctan2(d[:, 1], d[:, 0])
+    phi[-1] = phi[0] if closed else phi[-2]
+    return phi
+
+
+def discretize_pass(xy, v, channels, step_size, closed):
+    """One uniform-arc-length discretization pass.
+
+    Returns ``(path, interpolated_channels)`` where ``path`` carries the
+    PATH_* columns (curvature/arc length filled by the resampled-path
+    interpolator) and each entry of ``channels`` is lerped onto the new
+    stations.  Raises RuntimeError when the polyline cannot be resampled.
+    """
+    length = np.sum(np.linalg.norm(np.diff(xy[:, :2], axis=0), axis=1))
+    steps = int(length / step_size)
+    rsi = resample(xy[:, :2], step_size, steps, closed=closed)
+
+    src = np.zeros((len(xy), 6))
+    src[:, :2] = xy[:, :2]
+    src[:, PATH_PHI] = polyline_headings(xy, closed)
+    src[:, PATH_V] = v
+    path = interp_resampled_path(src, rsi, step_size, steps, False, closed)
+    return rsi, path, [lerp_resampled(rsi, c) for c in channels]
+
+
 def copy_map_segment(dst_map, src_map, step_size, steps, start_idx):
-    """Resample a window of src_map into dst_map. (map_module.py:243-280)"""
+    """Resample a window of src_map into dst_map.
+    (reference: map_module.py:243-280)"""
     try:
         rsi = resample(src_map.path[:, :2], step_size, steps, start_idx,
                        closed=src_map.closed_path)
@@ -200,34 +275,19 @@ def copy_map_segment(dst_map, src_map, step_size, steps, start_idx):
         src_map.path, rsi, step_size, steps,
         zero_vel_at_end=not src_map.closed_path,
         closed=src_map.closed_path)
-
-    alpha = rsi[:, 2]
-    alpha_inv = 1.0 - alpha
-    idx_prev = rsi[:, 3].astype(int)
-    idx_next = rsi[:, 4].astype(int)
-
-    d_left = np.asarray(src_map.d_left).reshape(-1)
-    d_right = np.asarray(src_map.d_right).reshape(-1)
-    dst_map.d_left = d_left[idx_prev] * alpha_inv + d_left[idx_next] * alpha
-    dst_map.d_right = d_right[idx_prev] * alpha_inv + d_right[idx_next] * alpha
-
-    cos_orth = np.cos(dst_map.path[:, 2] + np.pi / 2)
-    sin_orth = np.sin(dst_map.path[:, 2] + np.pi / 2)
-
-    dst_map.boundary_left = dst_map.path[:, :2].copy()
-    dst_map.boundary_right = dst_map.path[:, :2].copy()
-    dst_map.boundary_left[:, 0] += dst_map.d_left * cos_orth
-    dst_map.boundary_left[:, 1] += dst_map.d_left * sin_orth
-    dst_map.boundary_right[:, 0] -= dst_map.d_right * cos_orth
-    dst_map.boundary_right[:, 1] -= dst_map.d_right * sin_orth
+    dst_map.d_left = lerp_resampled(rsi, src_map.d_left)
+    dst_map.d_right = lerp_resampled(rsi, src_map.d_right)
+    dst_map.boundary_left, dst_map.boundary_right = side_boundaries(
+        dst_map.path, dst_map.d_left, dst_map.d_right)
     return True
 
 
 def reinit_map(cmap):
-    """Discretize control points into path/boundaries. (map_module.py:283-421)"""
-    cps_in = np.asarray(cmap.control_points, dtype=np.float64)
+    """Discretize control points into path/boundaries.
+    (reference: map_module.py:283-421)"""
+    cps = np.asarray(cmap.control_points, dtype=np.float64)
 
-    if len(cps_in) == 0:
+    if len(cps) == 0:
         cmap.path = np.zeros((0, 6))
         cmap.boundary_left = np.zeros((0, 2))
         cmap.boundary_right = np.zeros((0, 2))
@@ -235,102 +295,51 @@ def reinit_map(cmap):
         cmap.d_right = np.zeros(0)
         return
 
-    if len(cps_in) == 1:
-        cmap.path = np.array([[cps_in[0, 0], cps_in[0, 1], 0.0, 0.0, 0.0,
-                               cps_in[0, 4]]])
-        cmap.boundary_left = cps_in[:, :2] + np.array([[0.0, cps_in[0, 2]]])
-        cmap.boundary_right = cps_in[:, :2] - np.array([[0.0, cps_in[0, 3]]])
-        cmap.d_left = np.array([cps_in[0, 2]])
-        cmap.d_right = np.array([cps_in[0, 3]])
+    if len(cps) == 1:
+        x, y, dl, dr, v = cps[0, :5]
+        cmap.path = np.array([[x, y, 0.0, 0.0, 0.0, v]])
+        cmap.boundary_left = np.array([[x, y + dl]])
+        cmap.boundary_right = np.array([[x, y - dr]])
+        cmap.d_left = np.array([dl])
+        cmap.d_right = np.array([dr])
         return
 
     if cmap.closed_path:
-        cps = np.vstack([cps_in, cps_in[0]])
-    else:
-        cps = cps_in
+        cps = np.vstack([cps, cps[0]])
 
-    step_size = max(0.1, min(5.0, cmap.step_size_discr))
-    len_path = np.sum(np.linalg.norm(np.diff(cps[:, :2], axis=0), axis=1))
-    steps = int(len_path / step_size)
+    step_size = float(np.clip(cmap.step_size_discr, 0.1, 5.0))
 
+    # pass 1: control polygon -> uniform stations
     try:
-        rsi = resample(cps[:, :2], step_size, steps, closed=cmap.closed_path)
+        rsi, path, (d_left, d_right, altitude) = discretize_pass(
+            cps[:, :2], cps[:, 4], (cps[:, 2], cps[:, 3], cps[:, 5]),
+            step_size, cmap.closed_path)
     except RuntimeError:
         return
 
-    alpha = rsi[:, 2]
-    alpha_inv = 1.0 - alpha
-    idx_prev = rsi[:, 3].astype(int)
-    idx_next = rsi[:, 4].astype(int)
-
-    cmap.d_left = cps[idx_prev, 2] * alpha_inv + cps[idx_next, 2] * alpha
-    cmap.d_right = cps[idx_prev, 3] * alpha_inv + cps[idx_next, 3] * alpha
-    cmap.altitude = cps[idx_prev, 5] * alpha_inv + cps[idx_next, 5] * alpha
-
-    diffs = np.diff(cps[:, :2], axis=0)
-    angles = np.zeros(cps.shape[0])
-    angles[:-1] = np.arctan2(diffs[:, 1], diffs[:, 0])
-    angles[-1] = angles[0] if cmap.closed_path else angles[-2]
-
-    path = np.zeros((cps.shape[0], 6))
-    path[:, :2] = cps[:, :2]
-    path[:, 2] = angles
-    path[:, 5] = cps[:, 4]
-
-    path = interp_resampled_path(path, rsi, step_size, steps, False,
-                                 cmap.closed_path)
-
+    # pass 2 (optional): smooth the station positions, re-discretize
     if cmap.smoothing > 1e-5:
         xys = smooth_path_positions(
             rsi[:, :2], step_size, 0.0, 10.0 * cmap.smoothing,
             1000.0 * cmap.smoothing, cmap.closed_path)
-
-        len_path = np.sum(np.linalg.norm(np.diff(xys, axis=0), axis=1))
-        steps = int(len_path / step_size)
+        # carry pass-1 velocity onto the smoothed vertices (pad with the
+        # last value if smoothing changed the vertex count)
+        v = path[:, PATH_V]
+        if len(v) < len(xys):
+            v = np.r_[v, np.full(len(xys) - len(v), v[-1])]
         try:
-            rsi = resample(xys, step_size, steps, closed=cmap.closed_path)
+            rsi, path, (d_left, d_right, altitude) = discretize_pass(
+                xys, v[:len(xys)], (d_left, d_right, altitude),
+                step_size, cmap.closed_path)
         except RuntimeError:
             return
 
-        alpha = rsi[:, 2]
-        alpha_inv = 1.0 - alpha
-        idx_prev = rsi[:, 3].astype(int)
-        idx_next = rsi[:, 4].astype(int)
-
-        cmap.d_left = (cmap.d_left[idx_prev] * alpha_inv
-                       + cmap.d_left[idx_next] * alpha)
-        cmap.d_right = (cmap.d_right[idx_prev] * alpha_inv
-                        + cmap.d_right[idx_next] * alpha)
-        cmap.altitude = (cmap.altitude[idx_prev] * alpha_inv
-                         + cmap.altitude[idx_next] * alpha)
-
-        diffs = np.diff(xys[:, :2], axis=0)
-        angles = np.zeros(xys.shape[0])
-        angles[:-1] = np.arctan2(diffs[:, 1], diffs[:, 0])
-        angles[-1] = angles[0] if cmap.closed_path else angles[-2]
-
-        prev_path = path
-        path = np.zeros((xys.shape[0], 6))
-        path[:, :2] = xys
-        path[:, 2] = angles
-        path[:, 5] = prev_path[:len(xys), 5] if len(prev_path) >= len(xys) \
-            else np.r_[prev_path[:, 5],
-                       np.full(len(xys) - len(prev_path), prev_path[-1, 5])]
-
-        path = interp_resampled_path(path, rsi, step_size, steps, False,
-                                     cmap.closed_path)
-
     cmap.path = path
-
-    cos_orth = np.cos(cmap.path[:, 2] + np.pi / 2)
-    sin_orth = np.sin(cmap.path[:, 2] + np.pi / 2)
-
-    cmap.boundary_left = cmap.path[:, :2].copy()
-    cmap.boundary_right = cmap.path[:, :2].copy()
-    cmap.boundary_left[:, 0] += cmap.d_left * cos_orth
-    cmap.boundary_left[:, 1] += cmap.d_left * sin_orth
-    cmap.boundary_right[:, 0] -= cmap.d_right * cos_orth
-    cmap.boundary_right[:, 1] -= cmap.d_right * sin_orth
+    cmap.d_left = d_left
+    cmap.d_right = d_right
+    cmap.altitude = altitude
+    cmap.boundary_left, cmap.boundary_right = side_boundaries(
+        path, d_left, d_right)
 
 
 def reinit_map_items(cmap, map_store):
@@ -341,10 +350,11 @@ def reinit_map_items(cmap, map_store):
 
 
 def reinit_intersection_path(ip, cmap, maps):
-    """(map_module.py:435-459)"""
+    """Extract the crossing-road segment around the conflict point.
+    (reference: map_module.py:435-459)"""
     ip.map_segment_step_size = max(0.1, ip.map_segment_step_size)
     src_map = maps[ip.intersection_map_uuid]
-    proj = project(src_map.path[:, :2], ip.pos)
+    anchor = project(src_map.path[:, :2], ip.pos)
 
     if src_map.closed_path:
         steps = (ip.offset_path_end - ip.offset_path_begin) % len(src_map.path)
@@ -352,18 +362,50 @@ def reinit_intersection_path(ip, cmap, maps):
         ip.offset_path_end = max(ip.offset_path_begin + 1, ip.offset_path_end)
         steps = ip.offset_path_end - ip.offset_path_begin
 
-    f = src_map.step_size_discr / ip.map_segment_step_size
-    steps = max(1, int(abs(steps) * f))
-    start_idx = proj.index + ip.offset_path_begin
-
-    ip.map_segment = Map()
-    ip.map_segment.name = src_map.name
+    refine = src_map.step_size_discr / ip.map_segment_step_size
+    ip.map_segment = Map(src_map.name)
     copy_map_segment(ip.map_segment, src_map, ip.map_segment_step_size,
-                     steps, start_idx)
+                     max(1, int(abs(steps) * refine)),
+                     anchor.index + ip.offset_path_begin)
+
+
+# ---------------------------------------------------------------------------
+# sliding window
+
+def _window_start(local_map, cmap, veh, proj_ref):
+    """New window anchor index + quantized shift for this tick.
+
+    Returns (idx_start, shift_steps, reset).  When the vehicle is still
+    inside the corridor, the window slides in multiples of
+    ``step_shift_idx`` so warm starts stay index-aligned; when it left
+    the corridor the window snaps to the route projection and the world
+    is declared reset.
+    """
+    if proj_ref is not None:
+        inside = (-local_map.d_right[proj_ref.index]
+                  <= proj_ref.distance
+                  <= local_map.d_left[proj_ref.index])
+        if inside and proj_ref.in_bounds:
+            anchor = int(local_map.position_vehicle
+                         // local_map.step_size_ref)
+            lag = proj_ref.start - anchor
+            if abs(lag) <= local_map.step_shift_idx:
+                return local_map.idx_start_ref, 0, False
+            shift = ((lag // local_map.step_shift_idx)
+                     * local_map.step_shift_idx)
+            idx = local_map.idx_start_ref + shift
+            if cmap.closed_path:
+                idx %= len(cmap.path)
+            else:
+                idx = max(0, min(len(cmap.path), idx))
+            return idx, shift, False
+
+    # off the corridor: re-anchor on the global route
+    return project(cmap.path[:, :2], (veh.x, veh.y)).start, 0, True
 
 
 def update_local_map(env):
-    """Sliding-window local map update. (map_module.py:462-530)"""
+    """Sliding-window local map update. (reference: map_module.py:462-530)"""
     cmap = env.get_current_map()
     if cmap is None:
         env.local_map = None
@@ -371,53 +413,32 @@ def update_local_map(env):
 
     veh = env.vehicle_state
 
+    proj_ref = None
     if env.local_map is None:
-        proj_path_ref = None
         env.local_map = LocalMap()
-        env.local_map_behind = Map()
-        env.local_map_behind.name = "local_map_behind"
-        on_map = False
+        env.local_map_behind = Map("local_map_behind")
     else:
-        proj_path_ref = project(env.local_map.path[:, :2], (veh.x, veh.y))
-        d_r = -env.local_map.d_right[proj_path_ref.index]
-        d_l = env.local_map.d_left[proj_path_ref.index]
-        on_map = ((d_r <= proj_path_ref.distance <= d_l)
-                  and proj_path_ref.in_bounds)
+        proj_ref = project(env.local_map.path[:, :2], (veh.x, veh.y))
 
     local_map = env.local_map
-    local_map.velocity_limits = cmap.velocity_limits
-    local_map.turn_ind_points = cmap.turn_ind_points
-    local_map.map_switch_points = cmap.map_switch_points
-    local_map.intersection_paths = cmap.intersection_paths
+    adopt_items_from(local_map, cmap)
 
-    local_map.shift_idx_start_ref = 0
-    veh_pos_steps = int(local_map.position_vehicle // local_map.step_size_ref)
-
-    if not on_map:
-        proj_route = project(cmap.path[:, :2], (veh.x, veh.y))
-        local_map.idx_start_ref = proj_route.start
+    idx, shift, reset = _window_start(local_map, cmap, veh, proj_ref)
+    local_map.idx_start_ref = idx
+    local_map.shift_idx_start_ref = shift
+    if reset:
         env.reset_counter += 1
-    elif abs(proj_path_ref.start - veh_pos_steps) > local_map.step_shift_idx:
-        shift = ((proj_path_ref.start - veh_pos_steps)
-                 // local_map.step_shift_idx)
-        local_map.shift_idx_start_ref = shift * local_map.step_shift_idx
-        local_map.idx_start_ref += shift * local_map.step_shift_idx
-        if cmap.closed_path:
-            local_map.idx_start_ref %= len(cmap.path)
-        else:
-            local_map.idx_start_ref = max(
-                0, min(len(cmap.path), local_map.idx_start_ref))
 
     if not copy_map_segment(local_map, cmap, local_map.step_size_ref,
                             local_map.steps_ref, local_map.idx_start_ref):
         return
 
+    # trailing window: same length again, ending where the front starts
     idx_behind = local_map.idx_start_ref - local_map.steps_ref
     if cmap.closed_path:
         idx_behind %= len(cmap.path)
     else:
         idx_behind = max(0, min(len(cmap.path), idx_behind))
-
     if not copy_map_segment(env.local_map_behind, cmap,
                             local_map.step_size_ref,
                             local_map.steps_ref * 2, idx_behind):
@@ -426,205 +447,230 @@ def update_local_map(env):
     local_map.steps_ref = len(local_map.path)
 
 
+# ---------------------------------------------------------------------------
+# velocity profile shaping
+
 def update_local_map_velocity(env):
-    """(map_module.py:573-599)"""
+    """Curvature-limited speed profile + active point limits.
+    (reference: map_module.py:573-599)"""
     cmap = env.local_map
     if cmap is None:
         return
 
-    v_lim = curv_to_vel_profile(cmap.path[:, 4], cmap.path[:, 5],
+    v_lim = curv_to_vel_profile(cmap.path[:, PATH_K], cmap.path[:, PATH_V],
                                 env.vehicle_state.a_lat_max)
-
     for vl in cmap.velocity_limits:
-        if not vl.active:
-            continue
-        if not vl.proj.in_bounds:
-            continue
-        if abs(vl.proj.distance) > vl.min_distance:
-            continue
-        add_vel_constraint(v_lim, vl.proj.start, vl.limit, vl.length,
-                           cmap.shift_vel_lim)
-
-    cmap.path[:, 5] = v_lim
+        if (vl.active and vl.proj.in_bounds
+                and abs(vl.proj.distance) <= vl.min_distance):
+            add_vel_constraint(v_lim, vl.proj.start, vl.limit, vl.length,
+                               cmap.shift_vel_lim)
+    cmap.path[:, PATH_V] = v_lim
 
 
 def update_local_map_inters_paths(env):
-    """(map_module.py:602-629)"""
+    """Zero the profile at stop lines of intersections we must yield at.
+    (reference: map_module.py:602-629)"""
     cmap = env.local_map
     if cmap is None or not cmap.update_inters_paths:
         return
 
-    v_lim = cmap.path[:, 5]
+    v_lim = cmap.path[:, PATH_V]
     for ip in cmap.intersection_paths:
-        if not ip.stop_proj.in_bounds:
-            continue
-        if abs(ip.stop_proj.distance) > 1.0:
-            continue
-        if not ip.stop:
-            continue
-        add_vel_constraint(v_lim, ip.stop_proj.start, max_vel=0.0,
-                           length=10, shift=cmap.shift_vel_lim)
-    cmap.path[:, 5] = v_lim
+        if (ip.stop and ip.stop_proj.in_bounds
+                and abs(ip.stop_proj.distance) <= 1.0):
+            add_vel_constraint(v_lim, ip.stop_proj.start, max_vel=0.0,
+                               length=10, shift=cmap.shift_vel_lim)
+    cmap.path[:, PATH_V] = v_lim
 
 
-def update_map_items(env):
-    """Map switch points, turn indicators, velocity limits, traffic lights,
-    crosswalks, intersection gap acceptance. (map_module.py:632-811)"""
-    cmap = env.local_map
-    if cmap is None:
-        return
+# ---------------------------------------------------------------------------
+# per-tick item logic
 
-    veh = env.vehicle_state
-    veh_pos = np.array([veh.x, veh.y])
-    proj_veh = project(env.local_map.path[:, :2], veh_pos)
-
+def _update_switch_points(env, cmap, veh_pos):
+    """Rising-edge triggered map switching."""
     for msp in cmap.map_switch_points:
-        if np.linalg.norm(msp.pos - veh_pos) < msp.activation_radius:
-            if not msp.in_radius:
-                msp.triggers += 1
-                if msp.triggers % msp.trigger_divisor == 0:
-                    env.selected_map = msp.target_uuid
-                    env.reset_counter += 1
-            msp.in_radius = True
-        else:
-            msp.in_radius = False
+        entered = (np.linalg.norm(msp.pos - veh_pos)
+                   < msp.activation_radius)
+        if entered and not msp.in_radius:
+            msp.triggers += 1
+            if msp.triggers % msp.trigger_divisor == 0:
+                env.selected_map = msp.target_uuid
+                env.reset_counter += 1
+        msp.in_radius = entered
 
+
+def _update_turn_indicators(veh, cmap, veh_pos):
     veh.turn_indicator = 0
     for tip in cmap.turn_ind_points:
         if np.linalg.norm(tip.pos - veh_pos) < tip.activation_radius:
             veh.turn_indicator = tip.dir
 
-    velocity_limits_path_ref = []
 
+def _update_crosswalk(env, vl):
+    """Pedestrians on the crossing force a stop; if every one of them
+    stands still, creep at 3 m/s instead of a hard stop."""
+    blocked = False
+    only_stationary = True
+    for tr in list(env.get_all_tracks()):
+        if tr.object_class != "pedestrian":
+            continue
+        if intersect_polygons(tr.hull, vl.corners):
+            blocked = True
+        only_stationary &= tr.stationary
+    if blocked:
+        vl.limit = 3.0 if only_stationary else 0.0
+    else:
+        vl.limit = vl.free_limit
+
+
+def _vote_traffic_light(env, vl):
+    """Distance-weighted vote over associated detections; returns the
+    winning state or None without evidence."""
+    dets = [d for src in util.get_obj_dict(env.tl_dets).values()
+            for d in src if d.confidence >= 0.25]
+    if not dets:
+        return None
+
+    rays = np.array([[d.near_point, d.far_point] for d in dets])
+    dirs = rays[:, 1] - rays[:, 0]
+    ray_angles = np.arctan2(dirs[:, 1], dirs[:, 0])
+    misalign = np.abs(np.degrees(
+        [short_angle_dist(vl.proj.angle, a) for a in ray_angles]))
+
+    vote = np.zeros(4)
+    for det, ray, off in zip(dets, rays, misalign):
+        if off > 35.0:
+            continue
+        p = project(ray, vl.light_pos)
+        if abs(p.distance) > vl.detection_radius:
+            continue
+        w = (vl.detection_radius - abs(p.distance)) / vl.detection_radius
+        if det.state == TrafficLight.NONE:
+            w *= 0.1
+        vote[det.state] += w
+    if not np.any(vote > 0.0):
+        return None
+    return int(np.argmax(vote))
+
+
+def _update_traffic_light(env, vl, veh, proj_veh):
+    # stale detections decay to "assume red, we can still stop"
+    if abs(env.t - vl.t) > 3.0:
+        vl.state = TrafficLight.RED
+        vl.can_stop = True
+
+    det_state = _vote_traffic_light(env, vl)
+    if det_state is not None:
+        going = (TrafficLight.GREEN, TrafficLight.NONE)
+        if vl.state in going and det_state not in going:
+            # light just turned: stop only if physically able (2.75 m/s^2)
+            d_to_tl = vl.proj.arc_len - proj_veh.arc_len
+            vl.can_stop = d_to_tl >= veh.v ** 2 / (2 * 2.75)
+        vl.t = env.t
+        vl.state = det_state
+
+    vl.active = (vl.state in (TrafficLight.RED, TrafficLight.YELLOW)
+                 and vl.can_stop)
+
+
+def _update_point_limits(env, cmap, veh, proj_veh):
+    """Project every velocity-limit item onto the corridor and run its
+    type-specific logic; returns the items lying on the reference path."""
+    on_path = []
     for vl in cmap.velocity_limits:
-        vl.proj = project(env.local_map.path[:, :2], vl.pos)
-        on_ref_path = vl.proj.in_bounds and abs(vl.proj.distance) <= \
-            vl.min_distance
+        vl.proj = project(cmap.path[:, :2], vl.pos)
+        on_ref_path = (vl.proj.in_bounds
+                       and abs(vl.proj.distance) <= vl.min_distance)
         if on_ref_path:
-            velocity_limits_path_ref.append(vl)
+            on_path.append(vl)
 
         if vl.__tag__ == "velocity_limit":
             if not on_ref_path:
                 vl.active = True
-
         elif vl.__tag__ == "cross_walk":
-            if not on_ref_path:
-                continue
-            stop = False
-            only_stationary = True
-            for tr in list(env.get_all_tracks()):
-                if tr.object_class != "pedestrian":
-                    continue
-                if intersect_polygons(tr.hull, vl.corners):
-                    stop = True
-                only_stationary &= tr.stationary
-            if stop:
-                vl.limit = 3.0 if only_stationary else 0.0
-            else:
-                vl.limit = vl.free_limit
-
+            if on_ref_path:
+                _update_crosswalk(env, vl)
         elif vl.__tag__ == "traffic_light":
             if abs(env.t - vl.t) > 3.0:
                 vl.state = TrafficLight.RED
                 vl.can_stop = True
-            if not on_ref_path:
+            if on_ref_path:
+                _update_traffic_light(env, vl, veh, proj_veh)
+    return on_path
+
+
+def _time_to_conflict(ip, env, pos_critical):
+    """Earliest predicted arrival of crossing traffic at the conflict
+    point (inf if nothing is coming)."""
+    t_min = float("inf")
+    for tr in env.predicted:
+        if tr.stationary:
+            continue
+        for pred in tr.predictions:
+            if (ip.map_segment.uuid != pred.uuid_assoc_map
+                    or pred.cos_angle_dist < 0.0):
                 continue
+            t = ((5.0 + pos_critical - pred.proj_assoc_map.arc_len)
+                 / max(5.0, tr.v * pred.cos_angle_dist))
+            if t >= 0.0:
+                t_min = min(t_min, t)
+    return t_min
 
-            all_tds = []
-            for src in util.get_obj_dict(env.tl_dets).values():
-                all_tds += src
 
-            assoc_dets = []
-            for det in all_tds:
-                if det.confidence < 0.25:
-                    continue
-                a = np.array([det.near_point, det.far_point])
-                ray = a[1] - a[0]
-                angle = np.arctan2(ray[1], ray[0])
-                angle_dist = abs(np.degrees(
-                    short_angle_dist(vl.proj.angle, angle)))
-                if angle_dist > 35.0:
-                    continue
-                p = project(a, vl.light_pos)
-                if abs(p.distance) <= vl.detection_radius:
-                    assoc_dets.append((det, p))
-
-            if len(assoc_dets) > 0:
-                vote = np.zeros(4)
-                for det, p in assoc_dets:
-                    w = ((vl.detection_radius - abs(p.distance))
-                         / vl.detection_radius)
-                    if det.state == TrafficLight.NONE:
-                        w *= 0.1
-                    vote[det.state] += w
-                det_state = int(np.argmax(vote))
-
-                if (vl.state in (TrafficLight.GREEN, TrafficLight.NONE)
-                        and det_state not in (TrafficLight.GREEN,
-                                              TrafficLight.NONE)):
-                    d_to_tl = vl.proj.arc_len - proj_veh.arc_len
-                    d_stop = veh.v ** 2 / (2 * 2.75)
-                    vl.can_stop = d_to_tl >= d_stop
-
-                vl.t = env.t
-                vl.state = det_state
-
-            vl.active = vl.state in (TrafficLight.RED, TrafficLight.YELLOW)
-            vl.active &= vl.can_stop
-
-    if veh.steering_wheel_button and len(velocity_limits_path_ref) > 0:
-        vl_next = min(velocity_limits_path_ref, key=lambda v: v.proj.arc_len)
-        vl_next.active = False
-
-    # intersection gap acceptance
+def _update_intersection_gaps(env, cmap, veh, veh_pos):
+    """Gap acceptance at crossings: commit to go when the predicted gap
+    exceeds gap_acceptance; abort (re-stop) only while a comfortable
+    6 m/s^2 stop is still possible."""
     for ip in cmap.intersection_paths:
-        ip.stop_proj = project(env.local_map.path[:, :2], ip.stop_pos)
+        ip.stop_proj = project(cmap.path[:, :2], ip.stop_pos)
         if not ip.stop_proj.in_bounds:
             ip.stop = True
             continue
 
         dist_to_stop = (np.linalg.norm(ip.stop_pos - veh_pos)
                         - veh.rear_axis_to_front)
-        time_to_stop = max(0.0, dist_to_stop / max(2.0, veh.v))
         if dist_to_stop > ip.d_decision:
             continue
         if ip.map_segment is None or ip.map_segment.path is None:
             continue
 
-        pos_critical = (ip.map_segment.path[-1, 3]
-                        * abs(ip.offset_path_begin)
+        seg_len = ip.map_segment.path[-1, PATH_S]
+        pos_critical = (seg_len * abs(ip.offset_path_begin)
                         / (ip.offset_path_end - ip.offset_path_begin))
-
-        t_min = float("inf")
-        for tr in env.predicted:
-            if tr.stationary:
-                continue
-            for pred in tr.predictions:
-                if ip.map_segment.uuid != pred.uuid_assoc_map:
-                    continue
-                if pred.cos_angle_dist < 0.0:
-                    continue
-                t_inters = ((5.0 + pos_critical
-                             - pred.proj_assoc_map.arc_len)
-                            / max(5.0, tr.v * pred.cos_angle_dist))
-                if t_inters < 0.0:
-                    continue
-                t_min = min(t_min, t_inters)
+        t_min = _time_to_conflict(ip, env, pos_critical)
+        time_to_stop = max(0.0, dist_to_stop / max(2.0, veh.v))
 
         if t_min - time_to_stop > ip.gap_acceptance:
             ip.stop = False
-        elif not ip.stop:
-            if t_min < ip.gap_rejection:
-                stop_acc = 6.0
-                dist_break = veh.v ** 2 / (2 * stop_acc)
-                if dist_to_stop > dist_break:
-                    ip.stop = True
+        elif not ip.stop and t_min < ip.gap_rejection:
+            dist_brake = veh.v ** 2 / (2 * 6.0)
+            if dist_to_stop > dist_brake:
+                ip.stop = True
 
-    mmap = env.get_current_map()
-    mmap.velocity_limits = cmap.velocity_limits
-    mmap.turn_ind_points = cmap.turn_ind_points
-    mmap.map_switch_points = cmap.map_switch_points
-    mmap.intersection_paths = cmap.intersection_paths
+
+def update_map_items(env):
+    """Per-tick logic of all map items.
+    (reference: map_module.py:632-811)"""
+    cmap = env.local_map
+    if cmap is None:
+        return
+
+    veh = env.vehicle_state
+    veh_pos = np.array([veh.x, veh.y])
+    proj_veh = project(cmap.path[:, :2], veh_pos)
+
+    _update_switch_points(env, cmap, veh_pos)
+    _update_turn_indicators(veh, cmap, veh_pos)
+    on_path = _update_point_limits(env, cmap, veh, proj_veh)
+
+    # driver override: the steering-wheel button releases the next limit
+    if veh.steering_wheel_button and on_path:
+        min(on_path, key=lambda v: v.proj.arc_len).active = False
+
+    _update_intersection_gaps(env, cmap, veh, veh_pos)
+
+    # the live item state must survive the next window rebuild
+    adopt_items_from(env.get_current_map(), cmap)
 
 
 def get_map_boundary_polygon(cmap):
@@ -632,14 +678,57 @@ def get_map_boundary_polygon(cmap):
                       cmap.boundary_right[np.newaxis, 0]])
 
 
-def _build_map_items(kind, entries):
-    cls = _ITEM_CLASSES[kind]
+# ---------------------------------------------------------------------------
+# map store loading
+
+def _build_items(entries, default_tag):
+    """Instantiate typed map items from decoded dicts, dispatching on
+    the stored __tag__ (velocity-limit lists mix plain limits, traffic
+    lights and crosswalks)."""
     items = []
     for e in entries or []:
-        item = cls()
+        tag = e.get("__tag__", default_tag) if isinstance(e, dict) \
+            else default_tag
+        item = _ITEM_CLASSES.get(tag, _ITEM_CLASSES[default_tag])()
         util.merge_into(item, e)
         items.append(item)
     return items
+
+
+def _control_points_of(m):
+    """Control points from the store entry, falling back to the
+    deprecated route format (x, y @ cols 0-1, v @ col 5, 2 m corridor)."""
+    cps = np.asarray(m.get("control_points", np.zeros((0, 6))),
+                     dtype=np.float64)
+    route = m.get("route")
+    if len(cps) == 0 and route is not None and len(route) > 0:
+        route = np.asarray(route, dtype=np.float64)
+        cps = np.zeros((len(route), 6))
+        cps[:, :2] = route[:, :2]
+        cps[:, 2:4] = 2.0
+        cps[:, 4] = route[:, 5]
+    if cps.shape[1] < 6:
+        cps = np.pad(cps, ((0, 0), (0, 6 - cps.shape[1])))
+    return cps
+
+
+def _map_from_store(m):
+    cmap = Map()
+    for attr in ("name", "uuid", "smoothing", "step_size_discr"):
+        if attr in m:
+            setattr(cmap, attr, m[attr])
+    cmap.closed_path = bool(m.get("closed_path", 0))
+    cmap.control_points = _control_points_of(m)
+    cmap.velocity_limits = _build_items(
+        m.get("velocity_limits"), "velocity_limit")
+    cmap.turn_ind_points = _build_items(
+        m.get("turn_ind_points"), "turn_ind_point")
+    cmap.map_switch_points = _build_items(
+        m.get("map_switch_points"), "map_switch_point")
+    cmap.intersection_paths = _build_items(
+        m.get("intersection_paths"), "intersection_path")
+    reinit_map(cmap)
+    return cmap
 
 
 def load_map_store(file_path, data_path=None):
@@ -650,10 +739,8 @@ def load_map_store(file_path, data_path=None):
     """
     if not file_path:
         return util.Bundle()
-    if data_path:
-        full = os.path.join(data_path, file_path)
-    else:
-        full = util.resolve_data("maps", file_path)
+    full = (os.path.join(data_path, file_path) if data_path
+            else util.resolve_data("maps", file_path))
     if not os.path.isdir(full):
         return util.Bundle()
 
@@ -661,51 +748,8 @@ def load_map_store(file_path, data_path=None):
         raw = util.load_state_dict(full)
         if raw is None:
             return util.Bundle()
-
-        store = {}
-        for key, m in raw.items():
-            if not isinstance(m, dict):
-                continue
-            cmap = Map()
-            for attr in ("name", "uuid", "smoothing", "step_size_discr"):
-                if attr in m:
-                    setattr(cmap, attr, m[attr])
-            cmap.closed_path = bool(m.get("closed_path", 0))
-            cps = np.asarray(m.get("control_points", np.zeros((0, 6))),
-                             dtype=np.float64)
-            route = m.get("route")
-            if len(cps) == 0 and route is not None and len(route) > 0:
-                route = np.asarray(route, dtype=np.float64)
-                cps = np.zeros((len(route), 6))
-                cps[:, 0] = route[:, 0]
-                cps[:, 1] = route[:, 1]
-                cps[:, 2] = 2.0
-                cps[:, 3] = 2.0
-                cps[:, 4] = route[:, 5]
-            if cps.shape[1] < 6:
-                full_cps = np.zeros((len(cps), 6))
-                full_cps[:, :cps.shape[1]] = cps
-                cps = full_cps
-            cmap.control_points = cps
-            cmap.velocity_limits = _build_map_items(
-                "velocity_limit", m.get("velocity_limits"))
-            # typed items carry a __tag__ in their dicts
-            typed = []
-            for e in m.get("velocity_limits") or []:
-                tag = e.get("__tag__", "velocity_limit")
-                item = _ITEM_CLASSES.get(tag, VelocityLimit)()
-                util.merge_into(item, e)
-                typed.append(item)
-            cmap.velocity_limits = typed
-            cmap.turn_ind_points = _build_map_items(
-                "turn_ind_point", m.get("turn_ind_points"))
-            cmap.map_switch_points = _build_map_items(
-                "map_switch_point", m.get("map_switch_points"))
-            cmap.intersection_paths = _build_map_items(
-                "intersection_path", m.get("intersection_paths"))
-            reinit_map(cmap)
-            store[key] = cmap
-
+        store = {key: _map_from_store(m) for key, m in raw.items()
+                 if isinstance(m, dict)}
         bundle = util.Bundle(**store)
         for cmap in store.values():
             reinit_map_items(cmap, bundle)

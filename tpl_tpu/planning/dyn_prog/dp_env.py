@@ -1,24 +1,35 @@
 """
-Bridges EnvironmentState -> DpEnvironment: reference line construction
-(rampified velocity, intersection semantics, lateral range fit), fractional
-dt_start bookkeeping so grid time slices stay aligned to wall time, and
-per-prediction swept-geometry insertion with speed-dependent sweep length.
-(reference: library/tpl/planning/dyn_prog/dp_env.py)
+EnvironmentState -> DpEnvironment adapter.
+
+Feeds the device-resident Frenet grid world model (`DpEnvironment`) from
+the shared environment snapshot each planning tick.  The module is a set
+of pure builder functions — reference-line packing, conflict-zone
+marking, prediction sweep collection — composed by a small stateful
+`DpEnv` front end that owns only what genuinely persists across ticks
+(the previous reference line for shift bookkeeping, the fractional grid
+phase, debug throttling).
+
+Behavior-parity target: library/tpl/planning/dyn_prog/dp_env.py (the
+reference's CUDA/GL-backed equivalent).
 """
 
 import time
-import copy
 
 import numpy as np
 import jax
 
 from tpl_tpu import util
-from tpl_tpu.util import Bundle
+from tpl_tpu.util import Bundle, snapshot
 from tpl_tpu.ops import rampify_profile
 from tpl_tpu.planning.dyn_prog.dp_environment import (
     DpEnvironment, DpEnvParams, gen_prediction_quads,
 )
-from tpl_tpu.util import snapshot
+
+# ref-line packing: columns 0..5 are the local-map path (x, y, phi, s,
+# k, v), then corridor half-widths and the semantic channel
+RL_D_LEFT, RL_D_RIGHT, RL_SEMANTIC = 6, 7, 8
+RL_V = 5
+CONFLICT_ZONE_CELLS = 10
 
 
 class Params:
@@ -45,25 +56,115 @@ class Params:
         self.cpp = DpEnvParams()
 
 
+def pack_ref_line(local_map, params):
+    """Pack the local map window into the 9-column device ref line.
+
+    The velocity channel is smoothed with the jerk/acc-limited ramp so
+    the DP velocity constraint has no steps; cells the map pins to
+    (near) zero stay hard zero so stop lines survive the smoothing.
+    """
+    n = len(local_map.path)
+    rl = np.zeros((n, 9))
+    rl[:, :6] = local_map.path
+    rl[:, RL_D_LEFT] = local_map.d_left
+    rl[:, RL_D_RIGHT] = local_map.d_right
+
+    pinned_zero = rl[:, RL_V] < 1.0
+    rl[:, RL_V] = rampify_profile(
+        None, None, rl[:, RL_V],
+        params.a_min_v_ref, params.a_max_v_ref,
+        params.j_min_v_ref, params.j_max_v_ref,
+        1.0, local_map.step_size_ref)[:, 0]
+    rl[pinned_zero, RL_V] = 0.0
+    return rl
+
+
+def mark_conflict_zones(ref_line, intersection_paths):
+    """Flag the semantic channel over each intersection conflict zone.
+
+    Returns False when any crossing path's stop point fell outside the
+    window — the caller must then keep its previous lateral grid range
+    (parity with the reference's early-out, dp_env.py:108-112, which
+    skips the l_min/l_max refit in that case).
+    """
+    for ip in intersection_paths:
+        if not ip.stop_proj.in_bounds:
+            return False
+        i0 = ip.stop_proj.end
+        ref_line[i0:i0 + CONFLICT_ZONE_CELLS, RL_SEMANTIC] = 1.0
+    return True
+
+
+def fit_lateral_range(ref_line, cpp_params):
+    """Widen the grid's lateral extent to cover the whole road."""
+    cpp_params.l_min = float(np.floor(np.min(-ref_line[:, RL_D_RIGHT])))
+    cpp_params.l_max = float(np.ceil(np.max(ref_line[:, RL_D_LEFT])))
+
+
+def sweep_seconds(on_local_map, ego_v, obj_a, params):
+    """How far along its path a predicted object is swept per time
+    slice.  Objects on the ego corridor get a tight sweep; crossing
+    traffic is swept longer the faster the ego (or the object)
+    approaches, over-approximating the conflict window."""
+    if on_local_map:
+        return params.t_dist_on_map
+    if ego_v > 20.0 or (obj_a is not None and obj_a > 1.0):
+        return 4.0
+    if ego_v > 15.0:
+        return 3.0
+    if ego_v > 10.0:
+        return 2.0
+    return params.t_dist_crossing
+
+
+def collect_prediction_sweeps(env, params):
+    """Yield (quads, stationary) swept-footprint batches for every
+    prediction that is associated with a relevant map.
+
+    Prediction timestamps are phase-shifted by the grid's fractional
+    ``dt_start`` and the actuation dead time before sweeping, then the
+    dead time is subtracted again from the emitted slice times so the
+    grid stays indexed in plan time.
+    """
+    maps = {m.uuid: m for m in env.get_relevant_maps()}
+    ego_v = env.vehicle_state.v
+
+    for obj in env.predicted:
+        for pred in obj.predictions:
+            m = maps.get(pred.uuid_assoc_map)
+            if m is None:
+                continue
+
+            ts = np.concatenate(
+                ([0.0], params.cpp.dt_start + pred.states[:-1, 0]))
+            ts += params.dead_time
+
+            window = sweep_seconds(m.name == "local_map_behind",
+                                   ego_v, obj.a, params)
+            quads = gen_prediction_quads(
+                pred.states, obj.hull, m.path[:, :2], ts,
+                station_step_size=5.0, expansion_rate=0.0,
+                sweep_length=window)
+            yield ([(q, t - params.dead_time) for q, t in quads],
+                   obj.stationary)
+
+
 class DpEnv:
+    """Tick-to-tick front end over the device grid builder.
+
+    Persistent state is deliberately minimal:
+      * the previous ref line + step size — to measure how far the map
+        window slid (`ref_line_shift`), which planners use to de-shift
+        warm-started trajectories;
+      * the fractional time-slice phase `dt_start` — keeps grid slices
+        aligned to wall time across replans whose period is not a
+        multiple of the grid dt;
+      * debug-pull throttling.
+    """
 
     def __init__(self, shared, lock_shared):
         self.shared = shared
         self.lock_shared = lock_shared
-
-        self.ref_line = None
-        self.ref_proj = None
-
-        self.last_update_time = 0.0
-        self.dt_start = None
-
-        self.ref_line_shift = 0.0
-        self.ref_line_step_size = 0.0
-
-        self.cpp_env = DpEnvironment()
-        self.runtime_environment = 0.0
-        self._last_debug_grid_t = -np.inf
-
         with self.lock_shared():
             if not hasattr(self.shared, "params"):
                 self.shared.params = Bundle()
@@ -72,109 +173,92 @@ class DpEnv:
                 self.shared.debug = Bundle()
             self.shared.debug.env = Bundle()
 
-    def update_params(self, env):
+        self.cpp_env = DpEnvironment()
+
+        self.ref_line = None
+        self.ref_line_shift = 0.0
+        self.ref_line_step_size = 0.0
+
+        self.dt_start = None
+        self.last_update_time = 0.0
+        self.runtime_environment = 0.0
+        self._last_debug_grid_t = -np.inf
+        self._deferred = None
+
+    # -- params ---------------------------------------------------------
+
+    def _advance_phase(self, env, params):
+        """Slide the fractional grid phase by the elapsed wall time."""
+        if self.dt_start is None:
+            self.dt_start = params.cpp.dt
+        else:
+            elapsed = env.t - self.last_update_time
+            self.dt_start = (self.dt_start - elapsed) % params.cpp.dt
+        params.cpp.dt_start = self.dt_start
+
+    def snapshot_params(self, env):
         with self.lock_shared():
             params = self.shared.params.env
+            params.cpp.dilation = (np.sqrt(2.0)
+                                   * env.vehicle_state.width * 0.5)
+            self._advance_phase(env, params)
+            return snapshot(params)
 
-            params.cpp.dilation = np.sqrt(2.0) * env.vehicle_state.width * 0.5
+    # -- per-tick build ---------------------------------------------------
 
-            dt_update = env.t - self.last_update_time
-            if self.dt_start is None:
-                self.dt_start = params.cpp.dt
-            else:
-                self.dt_start = (self.dt_start - dt_update) % params.cpp.dt
-            params.cpp.dt_start = self.dt_start
-
-            sh_params = snapshot(params)
-        return sh_params
-
-    def update_reference_line(self, env, params):
-        """(dp_env.py:79-122)"""
+    def refresh_ref_line(self, env, params):
+        new_start = env.local_map.path[0, :2]
         if self.ref_line is not None:
-            proj_prev = util.project(self.ref_line[:, :2],
-                                     env.local_map.path[0, :2])
-            self.ref_line_shift = round(
-                proj_prev.arc_len / self.ref_line_step_size) \
-                * self.ref_line_step_size
+            # quantized arc-length slide of the window since last tick
+            arc = util.project(self.ref_line[:, :2], new_start).arc_len
+            self.ref_line_shift = (round(arc / self.ref_line_step_size)
+                                   * self.ref_line_step_size)
 
-        self.ref_line = np.zeros((len(env.local_map.path), 9))
-        self.ref_line[:, :6] = env.local_map.path
-        self.ref_line[:, 6] = env.local_map.d_left
-        self.ref_line[:, 7] = env.local_map.d_right
+        self.ref_line = pack_ref_line(env.local_map, params)
         self.ref_line_step_size = env.local_map.step_size_ref
 
-        # rampified velocity profile (zero cells stay zero)
-        idxs_zero = self.ref_line[:, 5] < 1.0
-        self.ref_line[:, 5] = rampify_profile(
-            None, None, self.ref_line[:, 5],
-            params.a_min_v_ref, params.a_max_v_ref,
-            params.j_min_v_ref, params.j_max_v_ref,
-            1.0, env.local_map.step_size_ref)[:, 0]
-        self.ref_line[idxs_zero, 5] = 0.0
+        if mark_conflict_zones(self.ref_line,
+                               env.local_map.intersection_paths):
+            fit_lateral_range(self.ref_line, params.cpp)
 
-        # semantic info: mark intersection conflict zones
-        for ip in env.local_map.intersection_paths:
-            if not ip.stop_proj.in_bounds:
-                return
-            i0 = ip.stop_proj.end
-            self.ref_line[i0:i0 + 10, 8] = 1.0
-
-        # fit lateral range to the road
-        params.cpp.l_min = float(np.floor(np.min(-self.ref_line[:, 7])))
-        params.cpp.l_max = float(np.ceil(np.max(self.ref_line[:, 6])))
-
-    def update_environment(self, env, params, defer_device=False):
-        """(dp_env.py:124-172). With defer_device the host-side prep
-        (ref line upload packing, geometry insertion) runs but the device
-        grid build is left to the caller (fused replan program)."""
+    def build_grids(self, env, params, defer_device=False):
         start = time.perf_counter()
-
         self.cpp_env.reinit_buffers(params.cpp)
         self.cpp_env.set_ref_line(self.ref_line, self.ref_line_step_size)
-
-        maps = {m.uuid: m for m in env.get_relevant_maps()}
-
-        for obj in env.predicted:
-            for pred in obj.predictions:
-                m = maps.get(pred.uuid_assoc_map)
-                if m is None:
-                    continue
-                on_local_map = m.name == "local_map_behind"
-
-                ts = np.array([0.0, *(params.cpp.dt_start
-                                      + pred.states[:-1, 0])])
-                ts += params.dead_time
-
-                if on_local_map:
-                    sweep_length = params.t_dist_on_map
-                else:
-                    sweep_length = params.t_dist_crossing
-                    if env.vehicle_state.v > 20.0 or (
-                            obj.a is not None and obj.a > 1.0):
-                        sweep_length = 4.0
-                    elif env.vehicle_state.v > 15.0:
-                        sweep_length = 3.0
-                    elif env.vehicle_state.v > 10.0:
-                        sweep_length = 2.0
-
-                quads = gen_prediction_quads(
-                    pred.states, obj.hull, m.path[:, :2], ts,
-                    station_step_size=5.0, expansion_rate=0.0,
-                    sweep_length=sweep_length)
-
-                quads = [(q, t - params.dead_time) for q, t in quads]
-                self.cpp_env.insert_geometry(quads, obj.stationary)
-
+        for quads, stationary in collect_prediction_sweeps(env, params):
+            self.cpp_env.insert_geometry(quads, stationary)
         if not defer_device:
             self.cpp_env.update()
         self.runtime_environment = (time.perf_counter() - start) * 1000.0
 
+    def update(self, env, defer_device=False):
+        params = self.snapshot_params(env)
+        self.refresh_ref_line(env, params)
+        self.build_grids(env, params, defer_device=defer_device)
+        if defer_device:
+            # the caller runs the device build inside its fused program
+            # and then calls finish_deferred_update
+            self._deferred = (env, params)
+        else:
+            self._finalize(env, params)
+
+    def finish_deferred_update(self):
+        env, params = self._deferred
+        self._deferred = None
+        self._finalize(env, params)
+
+    def _finalize(self, env, params):
+        if params.write_debug_data:
+            self.write_debug_data(env, params)
+        self.last_update_time = env.t
+
+    # -- observability ----------------------------------------------------
+
     def write_debug_data(self, env, params):
-        pull_grids = (env.t - self._last_debug_grid_t
-                      >= params.debug_grid_interval
-                      or env.t < self._last_debug_grid_t)
+        due = (env.t - self._last_debug_grid_t >= params.debug_grid_interval
+               or env.t < self._last_debug_grid_t)
         grids = None
-        if pull_grids:
+        if due:
             grid = self.cpp_env.grid
             # one batched pull for both maps (single round trip)
             grids = jax.device_get((grid.occ_map, grid.dist_map_lon))
@@ -186,24 +270,3 @@ class DpEnv:
             if grids is not None:
                 dbg.occ_map = np.asarray(grids[0])
                 dbg.dist_map_lon = np.asarray(grids[1])
-
-    def update(self, env, defer_device=False):
-        params = self.update_params(env)
-        self.update_reference_line(env, params)
-        self.update_environment(env, params, defer_device=defer_device)
-        if defer_device:
-            # grids are not built yet; the caller adopts them and then
-            # calls finish_deferred_update
-            self._deferred = (env, params)
-        else:
-            if params.write_debug_data:
-                self.write_debug_data(env, params)
-            self.last_update_time = env.t
-
-    def finish_deferred_update(self):
-        """Debug write + bookkeeping after the caller adopted the fused
-        program's grids."""
-        env, params = self._deferred
-        if params.write_debug_data:
-            self.write_debug_data(env, params)
-        self.last_update_time = env.t
