@@ -38,3 +38,78 @@ def test_sharded_best_candidate_reduction():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_idm_sweep_matches_unsharded():
+    """Candidate axis sharded over 8 devices == plain vmap kernel."""
+    from tpl_tpu.planning.idm_sampling import idm_kernel
+    from tpl_tpu.parallel import sharded_idm_sweep
+    from tests.test_idm_kernel import _scene
+
+    rl, objs, pp, init_ref, init_con = _scene()
+    spec = dict(steps_t=20, n_ref=rl.shape[0], n_obj=4, n_pred=8, n_hull=8)
+    kernel = idm_kernel.make_idm_kernel(spec)
+    mesh = scenario_mesh(8)
+    sweep = sharded_idm_sweep(kernel, mesh)
+
+    C = 64
+    l_trgs = jnp.asarray(np.linspace(-3, 3, C).astype(np.float32))
+    d_stops = jnp.full(C, 1e6, jnp.float32)
+    objs_dev = {k: jnp.asarray(v) for k, v in objs.items()}
+    args = (jnp.asarray(init_ref), jnp.asarray(init_con), l_trgs, d_stops,
+            jnp.float32(0.1), jnp.asarray(rl), jnp.float32(0.5),
+            objs_dev, pp.dynamic_dict(), jnp.float32(0.0))
+
+    refs_s, cons_s, costs_s = sweep(*args)
+    refs_u, cons_u, costs_u = kernel(*args)
+
+    np.testing.assert_allclose(np.asarray(refs_s), np.asarray(refs_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cons_s), np.asarray(cons_u),
+                               rtol=1e-5, atol=1e-5)
+    for k in costs_u:
+        np.testing.assert_allclose(np.asarray(costs_s[k]),
+                                   np.asarray(costs_u[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_sharded_latlon_batch_matches_vmap():
+    """Scenario-batched DP value iteration sharded over 8 devices ==
+    per-scenario solves."""
+    from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
+    from tpl_tpu.parallel import sharded_latlon_batch
+    from tests.test_dp_planner import _straight_env
+
+    # S and L must match the env grid; the ds axis is solver-internal
+    solver, _ = llk.make_latlon_solver(dict(
+        t_steps=10, s_steps=201, ds_steps=9, l_steps=21))
+    mesh = scenario_mesh(8)
+    batch = sharded_latlon_batch(solver, mesh)
+
+    B = 8
+    env_free = _straight_env(obstacle=False)
+    env_blk = _straight_env(obstacle=True)
+    dms, rls, pps, x0s = [], [], [], []
+    for i in range(B):
+        env = env_blk if i % 2 else env_free
+        dms.append(np.asarray(env.grid.dist_map_lon))
+        rls.append(np.asarray(env.grid.ref_line))
+        pp = llk.LatLonParams()
+        pp.l_trg = (i - 4) * 0.25
+        pps.append(pp.dynamic_dict())
+        x0 = np.zeros(12, np.float32)
+        x0[llk.C_DS] = 4.0 + i * 0.5
+        x0s.append(x0)
+
+    dms = jnp.asarray(np.stack(dms))
+    rls = jnp.asarray(np.stack(rls))
+    pps_b = jax.tree.map(lambda *ls: jnp.stack(ls), *pps)
+    x0s = jnp.asarray(np.stack(x0s))
+
+    nodes_s, trajs_s = batch(dms, rls, jnp.float32(0.5), pps_b, x0s)
+
+    for i in range(B):
+        _, traj_i = solver(dms[i], rls[i], jnp.float32(0.5), pps[i], x0s[i])
+        np.testing.assert_allclose(np.asarray(trajs_s[i]),
+                                   np.asarray(traj_i),
+                                   rtol=1e-5, atol=1e-5)

@@ -4,3 +4,7 @@ from tpl_tpu.parallel.mesh import (
     sharded_best_candidate,
     init_distributed,
 )
+from tpl_tpu.parallel.kernels import (
+    sharded_idm_sweep,
+    sharded_latlon_batch,
+)

@@ -1,0 +1,183 @@
+"""
+Device kernel for the Frenet polynomial sampling planner.
+
+One jitted program evaluates the whole Werling candidate grid: quintic
+lateral x quartic longitudinal coefficient solves (constant-matrix
+products on the MXU), polynomial evaluation over the (C, N) candidate x
+step grid, jerk/time/deviation costs, constraint penalties, a dense
+batched SAT collision screen against padded obstacle hulls, and the
+device-side argmin + gather of the winning candidate — so one dispatch
+returns just the (N,)-sized best trajectory.
+
+TPU-native counterpart of the reference's per-candidate C++ loops
+(reference: library/src/poly_sampling.cpp:37-258).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpl_tpu.ops.splines import PolyQuintic, PolyQuartic
+from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
+
+PENALTY = 10.0e6
+
+
+def _sat_separated_on(axes, pts_a, pts_b):
+    """True where some axis in ``axes`` separates pts_a from pts_b.
+
+    axes: (..., A, 2); pts_a: (..., Ka, 2); pts_b: (..., Kb, 2);
+    broadcasting over leading dims. Zero axes (from padded vertices)
+    never separate.
+    """
+    pa = jnp.einsum("...ka,...ja->...kj", pts_a, axes)   # (..., Ka, A)
+    pb = jnp.einsum("...ka,...ja->...kj", pts_b, axes)
+    return jnp.any((pa.max(-2) < pb.min(-2)) | (pb.max(-2) < pa.min(-2)),
+                   axis=-1)
+
+
+def _edges_normals(pts):
+    e = jnp.roll(pts, -1, axis=-2) - pts
+    return jnp.stack([-e[..., 1], e[..., 0]], axis=-1)
+
+
+def hulls_intersect(hulls_a, hulls_b):
+    """Batched convex SAT: broadcastable (..., Ka, 2) x (..., Kb, 2) ->
+    (...,) bool. Padded (repeated) vertices are harmless: their zero
+    edge normals cannot act as separating axes."""
+    sep = (_sat_separated_on(_edges_normals(hulls_a), hulls_a, hulls_b)
+           | _sat_separated_on(_edges_normals(hulls_b), hulls_a, hulls_b))
+    return ~sep
+
+
+@functools.lru_cache(maxsize=8)
+def make_poly_sampling_kernel(n_cand, n_steps, n_path, n_obs, n_hull):
+    """Jitted candidate-grid evaluation for static sizes.
+
+    Returns run(start (6,), di (C,), Ti (C,), tv (C,), ts (N,),
+    path (n_path, 6), obs_hulls (O, K, 2), obs_valid (O,), pp dict)
+    -> dict of (N,) best-candidate arrays + scalar cost.
+    """
+
+    f32 = jnp.float32
+
+    @jax.jit
+    def run(start, di, Ti, tv, ts, path, obs_hulls, obs_valid, pp):
+        start, di, Ti, tv, ts, path, obs_hulls = (
+            jnp.asarray(a, f32)
+            for a in (start, di, Ti, tv, ts, path, obs_hulls))
+        pp = {k: jnp.asarray(v, f32) for k, v in pp.items()}
+        d0, dd0, ddd0, s0, sd0, sdd0 = (start[i] for i in range(6))
+
+        C = n_cand
+        zeros = jnp.zeros(C, f32)
+        lat = PolyQuintic(zeros, jnp.full(C, d0), jnp.full(C, dd0),
+                          jnp.full(C, ddd0), Ti, di, zeros, zeros)
+        lon = PolyQuartic(zeros, jnp.full(C, s0), jnp.full(C, sd0),
+                          jnp.full(C, sdd0), Ti, tv, zeros)
+
+        tc = jnp.broadcast_to(ts, (C, n_steps)).T       # (N, C)
+        d, d_d, d_dd, d_ddd = (f(tc).T for f in
+                               (lat.f, lat.df, lat.ddf, lat.dddf))
+        s, s_d, s_dd, s_ddd = (f(tc).T for f in
+                               (lon.f, lon.df, lon.ddf, lon.dddf))
+
+        # jerk / time / terminal-deviation costs (poly_sampling.cpp:66-149)
+        Jp = jnp.sum(d_ddd ** 2, axis=1)
+        Js = jnp.sum(s_ddd ** 2, axis=1)
+        Jright = jnp.sum(jnp.where(d < 0.0, -d, 0.0), axis=1)
+        cd = (pp["k_j"] * Jp + pp["k_t"] * Ti
+              + pp["k_d"] * (pp["trg_d"] - d[:, -1]) ** 2
+              + pp["k_overtake_right"] * Jright)
+        cv = (pp["k_j"] * Js + pp["k_t"] * Ti
+              + pp["k_v"] * (100.0 - s_d[:, -1]) ** 2)
+        cost = pp["k_lat"] * cd + pp["k_lon"] * cv
+
+        # cartesian conversion (poly_sampling.cpp:151-190)
+        ref_s = path[:, 3]
+        heading_frenet = jnp.arctan(d_d / jnp.where(s_d == 0, 1e-9, s_d))
+        rx = lerp_xs(s, ref_s, path[:, 0])
+        ry = lerp_xs(s, ref_s, path[:, 1])
+        rh = lerp_xs(s, ref_s, path[:, 2], angle=True)
+        rv = lerp_xs(s, ref_s, path[:, 5])
+
+        x = rx - jnp.sin(rh) * d
+        y = ry + jnp.cos(rh) * d
+        yaw = heading_frenet + rh
+
+        seg = jnp.hypot(jnp.diff(x, axis=1), jnp.diff(y, axis=1))
+        curv_in = short_angle_dist(yaw[:, :-1], yaw[:, 1:]) \
+            / jnp.maximum(seg, 1e-9)
+        curv = jnp.concatenate([curv_in, curv_in[:, -1:]], axis=1)
+
+        # constraint penalties (poly_sampling.cpp:192-258)
+        cost += PENALTY * jnp.sum(
+            jnp.maximum(0.0, jnp.abs(s_d) - rv), axis=1)
+        cost += PENALTY * jnp.sum(
+            jnp.maximum(0.0, jnp.abs(curv) - pp["k_max"]), axis=1)
+        cost += PENALTY * jnp.sum(
+            jnp.maximum(0.0, jnp.abs(s_dd) - pp["a_max"]), axis=1)
+        cost += PENALTY * jnp.sum(jnp.maximum(0.0, jnp.abs(d) - 4.0), axis=1)
+
+        # dense collision screen: ego hull posed at every (cand, step)
+        # against every obstacle hull; padded/invalid obstacles masked
+        if n_obs > 0:
+            hull_ego = jnp.stack([
+                jnp.stack([-pp["rear_axis_to_rear"],
+                           -pp["width_ego"] / 2]),
+                jnp.stack([pp["rear_axis_to_front"],
+                           -pp["width_ego"] / 2]),
+                jnp.stack([pp["rear_axis_to_front"],
+                           pp["width_ego"] / 2]),
+                jnp.stack([-pp["rear_axis_to_rear"],
+                           pp["width_ego"] / 2])])            # (4, 2)
+            cs, sn = jnp.cos(yaw), jnp.sin(yaw)
+            rot = jnp.stack([jnp.stack([cs, -sn], -1),
+                             jnp.stack([sn, cs], -1)], -2)    # (C, N, 2, 2)
+            posed = (jnp.einsum("ka,cnba->cnkb", hull_ego, rot)
+                     + jnp.stack([x, y], -1)[:, :, None, :])  # (C, N, 4, 2)
+
+            hits = hulls_intersect(posed[:, :, None],          # (C,N,1,4,2)
+                                   obs_hulls[None, None])      # (1,1,O,K,2)
+            hits &= obs_valid[None, None, :]
+            cost += PENALTY * jnp.sum(hits, axis=(1, 2)).astype(f32)
+
+        best = jnp.argmin(cost)
+        pick = lambda a: a[best]
+        return dict(
+            d=pick(d), d_d=pick(d_d), d_dd=pick(d_dd),
+            s=pick(s), s_d=pick(s_d), s_dd=pick(s_dd),
+            x=pick(x), y=pick(y), yaw=pick(yaw), c=pick(curv),
+            ds=jnp.concatenate([pick(seg), jnp.zeros(1, f32)]),
+            cost=cost[best])
+
+    return run
+
+
+def pack_obstacles(obstacles, pad_multiple=4):
+    """Pad variable obstacle hulls to a fixed (O, K, 2) block.
+
+    Degenerate hulls (<3 vertices) are dropped; vertex padding repeats
+    the last vertex (SAT-safe); obstacle-count padding rounds up to
+    ``pad_multiple`` so the kernel compiles for a few size buckets only.
+    Returns (hulls (O, K, 2) f32, valid (O,) bool).
+    """
+    hulls = [np.asarray(o["hull"], np.float32)[:, :2] for o in obstacles]
+    hulls = [h for h in hulls if len(h) >= 3]
+    n = len(hulls)
+    O = max(pad_multiple, int(np.ceil(n / pad_multiple)) * pad_multiple) \
+        if n else 0
+    if O == 0:
+        return np.zeros((0, 3, 2), np.float32), np.zeros(0, bool)
+    K = max(len(h) for h in hulls)
+    out = np.zeros((O, K, 2), np.float32)
+    valid = np.zeros(O, bool)
+    for i, h in enumerate(hulls):
+        out[i, :len(h)] = h
+        out[i, len(h):] = h[-1]
+        valid[i] = True
+    # padded entries: repeat the first hull so SAT math stays finite
+    out[n:] = out[0]
+    return out, valid

@@ -3,16 +3,19 @@ Frenet polynomial sampling planner (Werling et al. 2010): lateral quintics
 x longitudinal quartics over a (T, d, v) grid, jerk/time/deviation costs,
 obstacle hull checks.
 
-Vectorized numpy re-design of the reference's C++ planner (reference:
+Device-first re-design of the reference's C++ planner (reference:
 library/src/poly_sampling.cpp, library/tpl/planning/poly_sampling/
-poly_sampling_planner.py): all candidate trajectories are evaluated as one
-(C, N) tensor instead of per-candidate loops.
+poly_sampling_planner.py): the whole candidate grid is evaluated by one
+jitted program (poly_kernel.py) returning just the winning trajectory;
+``_eval_candidates`` below is the vectorized-numpy twin kept as the
+oracle for kernel tests and as a no-JAX fallback.
 """
 
 import copy
 import time
 
 import numpy as np
+import jax
 
 from tpl_tpu import util
 from tpl_tpu.util import Bundle
@@ -22,6 +25,7 @@ from tpl_tpu.ops import (
 from tpl_tpu.ops.splines import PolyQuintic, PolyQuartic
 from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
 from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.poly_sampling import poly_kernel
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.util import snapshot
 
@@ -73,12 +77,16 @@ class Params:
         self.poly_params = PolySamplingParams()
 
 
-def _eval_candidates(start, path, obstacles, pp):
-    """Evaluate the full candidate grid; returns best trajectory dict.
+_PP_KEYS = ("k_j", "k_t", "trg_d", "k_d", "k_v", "k_lat", "k_lon",
+            "k_overtake_right", "a_max", "k_max",
+            "rear_axis_to_rear", "rear_axis_to_front", "width_ego")
 
-    start: dict with d, d_d, d_dd, s, s_d, s_dd.
-    path: (N, 6) [x, y, heading, s, k, v_max].
-    (reference: poly_sampling.cpp:66-265)
+
+def candidate_grid(start, pp):
+    """Flattened (d_end, T, v_end) sampling grid + step times.
+
+    Host-side and tiny; its sizes are the static shapes the device
+    kernel compiles for.  (reference: poly_sampling.cpp:37-64)
     """
     ds_cands = np.arange(-pp.lane_width, pp.lane_width, pp.d_step)
     Ts = np.arange(pp.T_min, pp.T_max, pp.T_step)
@@ -91,12 +99,47 @@ def _eval_candidates(start, path, obstacles, pp):
     n_steps = len(np.arange(0.0, pp.T_max, pp.dt))
     ts = np.arange(n_steps) * pp.dt
 
-    # candidate grid (D, T, V)
     D, Tn, V = len(ds_cands), len(Ts), len(tvs)
-    C = D * Tn * V
     di = np.repeat(ds_cands, Tn * V)
     Ti = np.tile(np.repeat(Ts, V), D)
     tv = np.tile(tvs, D * Tn)
+    return di, Ti, tv, ts
+
+
+def _eval_candidates_device(start, path, obstacles, pp):
+    """Evaluate the candidate grid in one jitted device program and pull
+    only the winning (N,)-sized trajectory back."""
+    di, Ti, tv, ts = candidate_grid(start, pp)
+    hulls, valid = poly_kernel.pack_obstacles(obstacles)
+    run = poly_kernel.make_poly_sampling_kernel(
+        len(di), len(ts), len(path), hulls.shape[0],
+        hulls.shape[1] if hulls.shape[0] else 0)
+    start_vec = np.array([start[k] for k in
+                          ("d", "d_d", "d_dd", "s", "s_d", "s_dd")],
+                         np.float32)
+    ppd = {k: np.float32(getattr(pp, k)) for k in _PP_KEYS}
+    out = jax.device_get(run(start_vec, di, Ti, tv, ts,
+                             np.asarray(path, np.float32),
+                             hulls, valid, ppd))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    out["t"] = ts
+    out["cost"] = float(out["cost"])
+    return out
+
+
+def _eval_candidates(start, path, obstacles, pp):
+    """Evaluate the full candidate grid; returns best trajectory dict.
+
+    Vectorized-numpy twin of the device kernel — the oracle for kernel
+    tests and the no-JAX fallback.
+
+    start: dict with d, d_d, d_dd, s, s_d, s_dd.
+    path: (N, 6) [x, y, heading, s, k, v_max].
+    (reference: poly_sampling.cpp:66-265)
+    """
+    di, Ti, tv, ts = candidate_grid(start, pp)
+    C = len(di)
+    n_steps = len(ts)
 
     lat = PolyQuintic(np.zeros(C), np.full(C, start["d"]),
                       np.full(C, start["d_d"]), np.full(C, start["d_dd"]),
