@@ -147,6 +147,39 @@ def bench_idm_rollouts(candidates=16384, iters=10):
     return C * iters / dt
 
 
+def bench_poly_sampling(iters=200, warmup=20):
+    """Per-tick latency of the poly-sampling planner's device evaluation
+    (full Werling candidate grid + SAT screen + device argmin, one
+    dispatch; poly_kernel.py). Returns (p99_ms, mean_ms)."""
+    from tpl_tpu.planning.poly_sampling import poly_sampling_planner as psp
+
+    N = 500
+    path = np.zeros((N, 6))
+    path[:, 0] = np.arange(N) * 0.5
+    path[:, 3] = path[:, 0]
+    path[:, 5] = 10.0
+    start = dict(d=0.5, d_d=0.1, d_dd=0.0, s=0.0, s_d=8.0, s_dd=0.0)
+    obstacles = [dict(hull=np.array(
+        [[30. + 12 * i, -1.], [34. + 12 * i, -1.],
+         [34. + 12 * i, 1.], [30. + 12 * i, 1.]])) for i in range(8)]
+    pp = psp.PolySamplingParams()
+    pp.lane_width = 3.0
+    pp.v_samples = 2
+    pp.rear_axis_to_rear = 1.0
+    pp.rear_axis_to_front = 4.0
+    pp.width_ego = 2.5
+
+    for _ in range(warmup):
+        psp._eval_candidates_device(start, path, obstacles, pp)
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        psp._eval_candidates_device(start, path, obstacles, pp)
+        lats.append(time.perf_counter() - t0)
+    lats = np.array(lats) * 1e3
+    return float(np.percentile(lats, 99)), float(np.mean(lats))
+
+
 def bench_rstp_replan_subprocess(timeout_s=600.0):
     """Run the replan-latency bench in a fresh process, like the real
     deployment: the reference architecture runs planning as its own
@@ -221,6 +254,7 @@ def main():
     platform = jax.devices()[0].platform
     rollouts_per_s = bench_idm_rollouts()
     solves_per_s = bench_batched_mpc()
+    poly_p99_ms, poly_mean_ms = bench_poly_sampling()
     try:
         p99_ms, mean_ms = bench_rstp_replan_subprocess()
     except (RuntimeError, subprocess.TimeoutExpired):
@@ -235,6 +269,8 @@ def main():
         "mpc_solves_per_s_per_chip": round(solves_per_s, 1),
         "rstp_replan_p99_ms": round(p99_ms, 2),
         "rstp_replan_mean_ms": round(mean_ms, 2),
+        "poly_sampling_tick_p99_ms": round(poly_p99_ms, 2),
+        "poly_sampling_tick_mean_ms": round(poly_mean_ms, 2),
         "replan_budget_ms": 20.0,
         "platform": platform,
         "device": str(jax.devices()[0]),

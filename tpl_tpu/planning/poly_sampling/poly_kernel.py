@@ -24,6 +24,16 @@ from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
 
 PENALTY = 10.0e6
 
+# params shipped to the device as ONE packed f32 vector: each jitted-arg
+# leaf is its own host->device transfer, dominant over a tunneled TPU
+PP_KEYS = ("k_j", "k_t", "trg_d", "k_d", "k_v", "k_lat", "k_lon",
+           "k_overtake_right", "a_max", "k_max",
+           "rear_axis_to_rear", "rear_axis_to_front", "width_ego")
+
+
+def pack_pp(pp):
+    return np.array([getattr(pp, k) for k in PP_KEYS], np.float32)
+
 
 def _sat_separated_on(axes, pts_a, pts_b):
     """True where some axis in ``axes`` separates pts_a from pts_b.
@@ -68,7 +78,11 @@ def make_poly_sampling_kernel(n_cand, n_steps, n_path, n_obs, n_hull):
         start, di, Ti, tv, ts, path, obs_hulls = (
             jnp.asarray(a, f32)
             for a in (start, di, Ti, tv, ts, path, obs_hulls))
-        pp = {k: jnp.asarray(v, f32) for k, v in pp.items()}
+        if isinstance(pp, dict):
+            pp = {k: jnp.asarray(v, f32) for k, v in pp.items()}
+        else:
+            vec = jnp.asarray(pp, f32)
+            pp = {k: vec[i] for i, k in enumerate(PP_KEYS)}
         d0, dd0, ddd0, s0, sd0, sdd0 = (start[i] for i in range(6))
 
         C = n_cand
@@ -144,16 +158,26 @@ def make_poly_sampling_kernel(n_cand, n_steps, n_path, n_obs, n_hull):
             hits &= obs_valid[None, None, :]
             cost += PENALTY * jnp.sum(hits, axis=(1, 2)).astype(f32)
 
+        # ONE packed result array -> one device->host pull per tick
         best = jnp.argmin(cost)
         pick = lambda a: a[best]
-        return dict(
-            d=pick(d), d_d=pick(d_d), d_dd=pick(d_dd),
-            s=pick(s), s_d=pick(s_d), s_dd=pick(s_dd),
-            x=pick(x), y=pick(y), yaw=pick(yaw), c=pick(curv),
-            ds=jnp.concatenate([pick(seg), jnp.zeros(1, f32)]),
-            cost=cost[best])
+        ds = jnp.concatenate([pick(seg), jnp.zeros(1, f32)])
+        rows = [pick(a) for a in (d, d_d, d_dd, s, s_d, s_dd,
+                                  x, y, yaw, curv)] + [ds]
+        packed = jnp.stack(rows)                       # (11, N)
+        return packed, cost[best]
 
     return run
+
+
+OUT_KEYS = ("d", "d_d", "d_dd", "s", "s_d", "s_dd", "x", "y", "yaw",
+            "c", "ds")
+
+
+def unpack_result(packed, cost):
+    out = {k: np.asarray(packed[i]) for i, k in enumerate(OUT_KEYS)}
+    out["cost"] = float(cost)
+    return out
 
 
 def pack_obstacles(obstacles, pad_multiple=4):

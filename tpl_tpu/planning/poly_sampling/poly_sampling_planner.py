@@ -77,11 +77,6 @@ class Params:
         self.poly_params = PolySamplingParams()
 
 
-_PP_KEYS = ("k_j", "k_t", "trg_d", "k_d", "k_v", "k_lat", "k_lon",
-            "k_overtake_right", "a_max", "k_max",
-            "rear_axis_to_rear", "rear_axis_to_front", "width_ego")
-
-
 def candidate_grid(start, pp):
     """Flattened (d_end, T, v_end) sampling grid + step times.
 
@@ -117,13 +112,12 @@ def _eval_candidates_device(start, path, obstacles, pp):
     start_vec = np.array([start[k] for k in
                           ("d", "d_d", "d_dd", "s", "s_d", "s_dd")],
                          np.float32)
-    ppd = {k: np.float32(getattr(pp, k)) for k in _PP_KEYS}
-    out = jax.device_get(run(start_vec, di, Ti, tv, ts,
-                             np.asarray(path, np.float32),
-                             hulls, valid, ppd))
-    out = {k: np.asarray(v) for k, v in out.items()}
+    packed, cost = jax.device_get(run(start_vec, di, Ti, tv, ts,
+                                      np.asarray(path, np.float32),
+                                      hulls, valid,
+                                      poly_kernel.pack_pp(pp)))
+    out = poly_kernel.unpack_result(packed, cost)
     out["t"] = ts
-    out["cost"] = float(out["cost"])
     return out
 
 
@@ -309,7 +303,7 @@ class PolySamplingPlanner(BasePlanner):
                          d_dd=pt["d_dd"][idx], s=0.0,
                          s_d=pt["s_d"][idx], s_dd=pt["s_dd"][idx])
 
-        self.poly_traj = _eval_candidates(start, path, obstacles, pp)
+        self.poly_traj = _eval_candidates_device(start, path, obstacles, pp)
         pt = self.poly_traj
 
         traj = Trajectory()
