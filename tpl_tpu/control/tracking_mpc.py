@@ -72,18 +72,27 @@ class ControlLog:
 
     def rollforward(self, solver, x0, t, cycle_dt, dead_time,
                     idx_delta, idx_acc):
-        """Returns (compensated x0, stamped (steps+1, 1+nx) trace)."""
+        """Returns (compensated x0, stamped (steps+1, 1+nx) trace).
+
+        The whole command window runs as ONE jitted scan on the solver
+        (`Solver.rollforward_deadtime`); per-step eager `dynamics()`
+        calls cost ~25 ms of JAX retracing each and dominated the sim
+        tick before this. The window is front-padded to its full length
+        so the compiled program shape is stable across ticks.
+        """
         n = int(dead_time / cycle_dt + 1e-5)
-        trace = []
-        rt = t
-        for acc, steer in self.entries[-n:]:
-            trace.append(np.concatenate([[rt], x0]))
-            x0[idx_delta] = steer
-            x0[idx_acc] = acc
-            x0 = solver.dynamics(x0, np.zeros(2), 0, cycle_dt)
-            rt += cycle_dt
-        trace.append(np.concatenate([[rt], x0]))
-        return x0, np.array(trace)
+        k = min(n, len(self.entries))
+        if n == 0:
+            return x0, np.concatenate([[t], x0])[None]
+        cmds = np.zeros((n, 2))
+        if k > 0:
+            cmds[n - k:] = self.entries[-k:]
+        valid = np.arange(n) >= (n - k)
+        states = solver.rollforward_deadtime(
+            x0, cmds, valid, idx_delta, idx_acc, cycle_dt)[n - k:]
+        times = t + np.arange(k + 1) * cycle_dt
+        trace = np.concatenate([times[:, None], states], axis=1)
+        return states[-1].copy(), trace
 
 
 class TrackingMpc(BaseController):

@@ -225,6 +225,61 @@ class Solver:
         # the result (dead-time compensation loop, mpc:172-177)
         return np.array(res, dtype=np.float64)
 
+    def _get_rollforward_fn(self):
+        """Jitted dead-time compensation rollout: integrate a state
+        through a window of already-issued commands with one lax.scan
+        program instead of per-step eager `dynamics()` calls (which cost
+        ~25 ms of retracing each)."""
+        key = ("rollforward", self._integrator)
+        cached = self._update_fns.get(key)
+        if cached is not None:
+            return cached
+
+        dyn = self.problem.dynamics
+        integ = self._integrator
+        nu = self.problem.nu
+
+        def roll(x0, cmds, valid, slots, dt, p):
+            u0 = jnp.zeros(nu, x0.dtype)
+
+            def step(x, inp):
+                cmd, ok = inp
+                xs = x.at[slots].set(cmd)
+                xn = ilqr._integrate(dyn, xs, u0, 0.0, dt, p, integ)
+                return jnp.where(ok, xn, x), x
+
+            xf, trace = jax.lax.scan(step, x0, (cmds, valid))
+            return jnp.concatenate([trace, xf[None]], axis=0)
+
+        fn = jax.jit(roll)
+        self._update_fns[key] = fn
+        return fn
+
+    def rollforward_deadtime(self, x0, cmds, valid, idx_delta, idx_acc, dt):
+        """Integrate ``x0`` through the command window ``cmds``
+        ((n, 2) rows of (acc, steer); rows with ``valid`` False are
+        pass-through padding at the front). Each step writes the issued
+        command into the state's (acc, steer) slots and integrates one
+        ``dt`` with the solver's own dynamics, so the compensation model
+        matches the MPC prediction model exactly.
+
+        Returns an (n+1, nx) float64 trace: row i = state after i steps.
+        """
+        fn = self._get_rollforward_fn()
+        np_dtype = np.float32 if self.dtype == jnp.float32 else np.float64
+        args = (np.asarray(x0, np_dtype),
+                np.asarray(cmds, np_dtype),
+                np.asarray(valid, bool),
+                np.array([idx_acc, idx_delta]),
+                np_dtype(dt),
+                self.params.as_dict(self.dtype))
+        if self._device is not None:
+            with jax.default_device(self._device):
+                res = fn(*args)
+        else:
+            res = fn(*args)
+        return np.asarray(res, dtype=np.float64)
+
     def _get_update_fn(self):
         """Jitted update with PACKED inputs.
 
