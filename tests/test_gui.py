@@ -175,6 +175,47 @@ def test_map_editor(sim_and_gui):
         assert reloaded[key].control_points[0][2] == 4.5
 
 
+def test_renderer_hook_dispatch(sim_and_gui):
+    """Per-store renderer plug-in pattern (reference resolves
+    __renderer__ on each store value, planning_app.py:42): every planner
+    publishes a resolvable hook with its bundle, and the active
+    planner's debug geometry renders without planner-specific GUI
+    code."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from tpl_tpu.gui import renderers
+
+    sim, gui = sim_and_gui
+    store = sim.planning_app.sh_planners
+    with store.lock():
+        names = list(store.planner_names)
+
+    for n in names:
+        if n == "base_planner":
+            continue
+        with store.lock():
+            spec = getattr(getattr(store, n), "__renderer__", None)
+        assert spec, f"{n} publishes no __renderer__"
+        assert renderers.resolve(spec) is not None, spec
+
+    for planner in ["path_vel_decomp_planner", "dp_lat_lon_planner",
+                    "idm_sampling_planner"]:
+        with store.lock():
+            store.active_planner = planner
+        for _ in range(15):
+            sim.update()
+        with sim.env_app.env.lock():
+            local_map = util.snapshot(sim.env_app.env.local_map)
+        with store.lock():
+            comp = util.snapshot(getattr(store, planner))
+        fig, ax = plt.subplots()
+        fn = renderers.resolve(comp["__renderer__"])
+        fn(ax, comp, local_map)        # raises if the view is broken
+        assert renderers.draw_component(ax, comp, local_map)
+        plt.close(fig)
+
+
 def test_event_log(sim_and_gui):
     """Event feed parity with the reference's VoiceLog announcer
     (library/tpl/gui/views/voice_log.py): environment resets, autonomy

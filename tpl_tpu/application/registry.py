@@ -59,7 +59,15 @@ class ComponentRegistry:
         setattr(store, self.active_key, next(iter(names)))
         setattr(store, names_key, list(names))
         for name, cls in names.items():
-            setattr(store, name, Bundle())
+            bundle = Bundle()
+            # publish the component's debug-view hook with its data, so
+            # any observer process can render the bundle without
+            # per-component code (reference: planning_app.py:42 resolves
+            # __renderer__ on the store value)
+            renderer = getattr(cls, "RENDERER", None)
+            if renderer:
+                bundle["__renderer__"] = renderer
+            setattr(store, name, bundle)
             self.by_name[name] = cls(getattr(store, name), store.lock)
 
     @property

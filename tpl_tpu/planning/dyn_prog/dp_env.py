@@ -263,6 +263,7 @@ class DpEnv:
             # one batched pull for both maps (single round trip)
             grids = jax.device_get((grid.occ_map, grid.dist_map_lon))
             self._last_debug_grid_t = env.t
+        cpp = self.cpp_env
         with self.lock_shared():
             dbg = self.shared.debug.env
             dbg.runtime_environment = self.runtime_environment
@@ -270,3 +271,14 @@ class DpEnv:
             if grids is not None:
                 dbg.occ_map = np.asarray(grids[0])
                 dbg.dist_map_lon = np.asarray(grids[1])
+            # grid geometry for observers (gui/renderers.py): world-frame
+            # (x, y, phi) anchors of the s axis + lateral extents
+            if cpp.ref_line is not None:
+                anchor = cpp.ref_line[:, :3].copy()
+                anchor[:, 0] += cpp.x_offset
+                anchor[:, 1] += cpp.y_offset
+                dbg.grid_anchor = anchor
+                dbg.grid_s_step = cpp.ref_step
+                dbg.grid_l_min = params.cpp.l_min
+                dbg.grid_l_step = (params.cpp.l_max - params.cpp.l_min) \
+                    / max(params.cpp.l_steps - 1, 1)

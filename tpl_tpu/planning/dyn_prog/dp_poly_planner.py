@@ -129,6 +129,8 @@ def traj_point_at(traj, t):
 
 class DpPolyPlanner(BasePlanner):
 
+    RENDERER = "tpl_tpu.gui.renderers:dp_poly"
+
     def __init__(self, shared, lock_shared):
         np.seterr(divide="ignore", invalid="ignore")
 

@@ -139,6 +139,8 @@ def _prep_objects(predicted, local_map_uuid, linestrip):
 
 class IdmSamplingPlanner(BasePlanner):
 
+    RENDERER = "tpl_tpu.gui.renderers:idm_sampling"
+
     def __init__(self, shared, lock_shared):
         self.shared = shared
         self.lock_shared = lock_shared
@@ -467,6 +469,10 @@ class IdmSamplingPlanner(BasePlanner):
             dbg.costs = {k: v.tolist() for k, v in costs.items()}
             dbg.i_select = i_select
             dbg.l_trgs = l_trgs.tolist()
+            # subsampled candidate rollout fan in world coordinates for
+            # the per-planner debug view (gui/renderers.py:idm_sampling)
+            dbg.cand_xy = cons[:, ::5, [V_X, V_Y]] + [x_off, y_off]
+            dbg.cand_invalid = costs["invalid"].astype(bool)
             self.shared.debug = dbg
 
         return self.trajectory

@@ -55,6 +55,8 @@ class Params:
 
 class PathVelDecompPlanner(BasePlanner):
 
+    RENDERER = "tpl_tpu.gui.renderers:rstp"
+
     def __init__(self, shared, lock_shared):
         self.shared = shared
         self.lock_shared = lock_shared

@@ -233,6 +233,8 @@ def _eval_candidates(start, path, obstacles, pp):
 
 class PolySamplingPlanner(BasePlanner):
 
+    RENDERER = "tpl_tpu.gui.renderers:poly_sampling"
+
     def __init__(self, shared, lock_shared):
         self.shared = shared
         self.lock_shared = lock_shared
@@ -316,6 +318,13 @@ class PolySamplingPlanner(BasePlanner):
         traj.orientation = pt["yaw"]
         traj.curvature = pt["c"]
         self.trajectory = traj
+
+        with self.lock_shared():
+            dbg = Bundle()
+            dbg.x = pt["x"].copy()
+            dbg.y = pt["y"].copy()
+            dbg.cost = pt["cost"]
+            self.shared.debug = dbg
 
         self.last_update_time = env_t
         self.runtime = time.perf_counter() - start_time

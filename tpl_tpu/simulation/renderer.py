@@ -99,25 +99,6 @@ def _draw_tracked_objects(ax, objects):
                         lw=1.0, alpha=0.7, zorder=3)
 
 
-def _draw_corridor(ax, local_map, debug):
-    """RSTP corridor overlay from the planner's shared debug bundle
-    (reference GUI renders the same arrays from the planning store)."""
-    d_lo = np.asarray(getattr(debug, "d_lower_constr", np.zeros(0))).ravel()
-    d_up = np.asarray(getattr(debug, "d_upper_constr", np.zeros(0))).ravel()
-    if local_map is None or local_map.path is None or len(d_lo) < 2:
-        return
-    n = min(len(d_lo), len(d_up), len(local_map.path))
-    path = local_map.path[:n]
-    nx, ny = -np.sin(path[:, 2]), np.cos(path[:, 2])
-    # d_upper_constr = -d_left + w/2, d_lower_constr = -d_right + w/2:
-    # left edge at -d_upper along the left normal, right edge at d_lower
-    ax.plot(path[:, 0] - nx * d_up[:n], path[:, 1] - ny * d_up[:n],
-            color="tab:green", lw=0.8, alpha=0.6, zorder=2)
-    ax.plot(path[:, 0] + nx * d_lo[:n], path[:, 1] + ny * d_lo[:n],
-            color="tab:green", lw=0.8, alpha=0.6, zorder=2,
-            label="corridor")
-
-
 class SceneRenderer:
     """Stateful renderer keeping per-object history trails across frames
     (the reference DynamicObjects component's history feature)."""
@@ -197,20 +178,23 @@ def render_scene(env, sim, planners=None, ax=None, window=120.0,
     ax.fill(hull[:, 0], hull[:, 1], color="tab:blue", alpha=0.9,
             zorder=5, label="ego")
 
-    # planned trajectory + planner debug overlays
+    # planned trajectory + the active planner's own debug view,
+    # resolved through the store's __renderer__ hook
     if planners is not None:
+        from tpl_tpu.gui.renderers import draw_component
+        from tpl_tpu.util import snapshot
         with planners.lock():
             traj = getattr(planners, "trajectory", None)
             active = getattr(planners, "active_planner", "")
-            debug = getattr(getattr(planners, active, None), "debug", None)
+            comp = getattr(planners, active, None)
+            comp = snapshot(comp) if comp is not None else None
         if traj is not None and len(np.atleast_1d(traj.x)) > 1:
             emergency = bool(getattr(traj, "emergency", False))
             ax.plot(traj.x, traj.y, "-",
                     color="crimson" if emergency else "g", lw=2.0,
                     zorder=4, label="plan (EMERGENCY)" if emergency
                     else "plan")
-        if debug is not None:
-            _draw_corridor(ax, local_map, debug)
+        draw_component(ax, comp, local_map)
 
     ax.set_xlim(sim.ego.x - window / 2, sim.ego.x + window / 2)
     ax.set_ylim(sim.ego.y - window / 2, sim.ego.y + window / 2)
