@@ -20,6 +20,7 @@ from tpl_tpu.ops.interp import lerp_xs, short_angle_dist
 from tpl_tpu.environment import EnvironmentState, map_module
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
+from tpl_tpu.planning.utils import traj_collision_imminent
 from tpl_tpu.planning.dyn_prog.dp_environment import (
     DpEnvironment, DpEnvParams, gen_prediction_quads,
 )
@@ -41,6 +42,11 @@ class Params:
         self.j_min_v_profile = -1.5
 
         self.replan_time = 1.0
+        # floor for screen-forced early replans: the exact device DP
+        # judged the plan valid at the last replan, so the conservative
+        # host screen may only pull the next replan forward to this
+        # cadence, not to every 0.01 s pass
+        self.replan_time_min = 0.25
         self.dead_time = 0.0
         self.d_reinit_lat = 0.5
 
@@ -252,21 +258,23 @@ class DpPolyPlanner(BasePlanner):
         ts = np.arange(traj_dp[0, PP_T], (p.t_steps - 1) * p.dt, p.dt_cart)
         pts = np.stack([traj_point_at(traj_dp, t) for t in ts])
 
-        # frenet -> cartesian (poly_planner.cu:446-494)
-        cpp_env = self.dp_env.cpp_env if hasattr(self.dp_env, "cpp_env") \
-            else self.dp_env
-        rl = cpp_env.ref_line
-        grid_s = np.arange(len(rl)) * cpp_env.ref_step
+        # frenet -> cartesian (poly_planner.cu:446-494) against the
+        # CURRENT host ref-line window (cols 0..5 = x, y, phi, s, k, v):
+        # the per-tick shift in update_initial_state keeps traj_dp in
+        # this window's frame, while the device env only refreshes at
+        # the replan cadence
+        rl = self.ref_line
+        grid_s = np.arange(len(rl)) * self.ref_line_step_size
         x_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 0])
         y_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 1])
         h_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 2], angle=True)
-        k_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 3])
+        k_r = lerp_xs(pts[:, PP_S], grid_s, rl[:, 4])
 
         n = len(pts)
         cart = np.zeros((n, 8))
         cart[:, 0] = pts[:, PP_T] + env.t + params.dead_time
-        cart[:, 2] = cpp_env.x_offset + x_r - pts[:, PP_L] * np.sin(h_r)
-        cart[:, 3] = cpp_env.y_offset + y_r + pts[:, PP_L] * np.cos(h_r)
+        cart[:, 2] = x_r - pts[:, PP_L] * np.sin(h_r)
+        cart[:, 3] = y_r + pts[:, PP_L] * np.cos(h_r)
         cart[:, 6] = np.where(
             pts[:, PP_DS] < 1e-3, h_r,
             np.arctan(pts[:, PP_DL] / np.maximum(pts[:, PP_DS], 1e-9))
@@ -396,8 +404,23 @@ class DpPolyPlanner(BasePlanner):
         if update_needed:
             self.last_time = env.t
             self.update_reference_line(env, params)
-            self.update_environment(env, params)
             replan = self.update_initial_state(env, params)
+            # between replans the pass is host-only: a conservative
+            # screen of the stored plan against the latest predictions
+            # forces the replan one pass early on new threats, so the
+            # expensive device pipeline (env grids + graph DP) runs at
+            # the replan cadence, not per 0.01 s tick (same policy as
+            # dp_lat_lon_planner.py update())
+            if (not replan
+                    and env.t - self.behavior.last_replan_time
+                    >= params.replan_time_min
+                    and traj_collision_imminent(
+                        self.trajectory_np, env.predicted,
+                        params.dp_planner.width_veh,
+                        params.dp_planner.length_veh, env.t)):
+                replan = True
+            if replan:
+                self.update_environment(env, params)
             self.update_planner(env, params, replan)
             self.update_trajectory(env, params)
 
