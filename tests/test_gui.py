@@ -159,6 +159,39 @@ def test_map_editor(sim_and_gui):
     assert _post(gui, "/map/edit",
                  {"op": "delete_item", "map": key, "uuid": uid}) == 200
 
+    # item manipulation on canvas: move an item, linked geometry follows
+    assert _post(gui, "/map/edit",
+                 {"op": "add_item", "map": key, "kind": "traffic_light",
+                  "x": cp[0], "y": cp[1]}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    tl = [it for it in after["items"] if it["kind"] == "traffic_light"][-1]
+    assert _post(gui, "/map/edit",
+                 {"op": "move_item", "map": key, "uuid": tl["uuid"],
+                  "x": cp[0] + 3.0, "y": cp[1] - 2.0}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    tl2 = [it for it in after["items"] if it["uuid"] == tl["uuid"]][0]
+    assert tl2["pos"][0] == pytest.approx(cp[0] + 3.0)
+    assert _post(gui, "/map/edit",
+                 {"op": "delete_item", "map": key, "uuid": tl["uuid"]}) == 200
+
+    # boundary drag: pull the left road edge outward at a path point;
+    # the nearest control point's d_left widens to match
+    before_bd = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    p0 = before_bd["path"][min(4, len(before_bd["path"]) - 1)]
+    import math
+    nx, ny = -math.sin(p0[2]), math.cos(p0[2])
+    assert _post(gui, "/map/edit",
+                 {"op": "drag_boundary", "map": key, "side": "left",
+                  "x": p0[0] + nx * 6.0, "y": p0[1] + ny * 6.0}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    assert max(cpv[2] for cpv in after["control_points"]) == \
+        pytest.approx(6.0, abs=0.3)
+
+    # undo restores the pre-drag widths
+    assert _post(gui, "/map/edit", {"op": "undo", "map": key}) == 200
+    after = json.loads(_get(gui, f"/map.json?map={key}")[1])
+    assert after["control_points"] == before_bd["control_points"]
+
     # every edit bumped reset_counter (planner warm starts invalidated)
     with sim.env_app.env.lock():
         assert sim.env_app.env.reset_counter > rc_before

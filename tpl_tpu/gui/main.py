@@ -112,7 +112,12 @@ _EDITOR_PAGE = """<!doctype html>
 <div>
  <h3>map editor</h3>
  <p>map <select id="map"></select>
-    <button onclick="save()">save store</button></p>
+    <button onclick="save()">save store</button>
+    <button onclick="edit({op:'undo'})">undo (ctrl-z)</button></p>
+ <p>mode <select id="mode">
+    <option value="cp">control points</option>
+    <option value="boundary">boundaries</option>
+    <option value="item">items</option></select></p>
  <table>
   <tr><td>selected cp</td><td id="selidx">-</td></tr>
   <tr><td>d_left</td><td><input id="d_left" onchange="setF('d_left')"></td></tr>
@@ -121,14 +126,26 @@ _EDITOR_PAGE = """<!doctype html>
  </table>
  <p><button onclick="insertCp()">insert after</button>
     <button onclick="deleteCp()">delete</button></p>
- <p style="max-width:22em;color:#999">click: select control point ·
-    drag: move it · edits re-discretize the live map and invalidate
-    planner warm starts</p>
+ <p>add <select id="itemkind">
+    <option>velocity_limit</option><option>traffic_light</option>
+    <option>cross_walk</option><option>turn_ind_point</option>
+    <option>map_switch_point</option><option>intersection_path</option>
+  </select>
+  <button onclick="addItem()">item at last click</button>
+  <button onclick="deleteItem()">delete item</button></p>
+ <table id="itemfields"></table>
+ <p style="max-width:22em;color:#999">cp mode: click selects, drag
+    moves a control point · boundary mode: drag a road edge to reshape
+    the width · item mode: click selects, drag moves an item · every
+    edit re-discretizes the live map and invalidates planner warm
+    starts</p>
  <pre id="err"></pre>
 </div>
 <script>
-let M = null, sel = -1, drag = false, view = null;
+let M = null, sel = -1, selItem = -1, dragKind = null, side = null,
+    view = null, lastClick = null;
 const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+const mode = () => document.getElementById('mode').value;
 function fit() {
   const xs = M.control_points.map(p => p[0]),
         ys = M.control_points.map(p => p[1]);
@@ -160,20 +177,24 @@ function draw() {
     ctx.beginPath(); ctx.arc(q[0], q[1], i === sel ? 6 : 3.5, 0, 7);
     ctx.fill();
   });
-  for (const it of M.items) {
+  M.items.forEach((it, i) => {
     const q = W(it.pos);
     ctx.fillStyle = {traffic_light: '#e33', cross_walk: '#39e',
                      velocity_limit: '#ee3'}[it.kind] || '#c6c';
-    ctx.fillRect(q[0] - 4, q[1] - 4, 8, 8);
+    const r = i === selItem ? 6 : 4;
+    ctx.fillRect(q[0] - r, q[1] - r, 2 * r, 2 * r);
     ctx.fillStyle = '#999';
     ctx.fillText(it.kind, q[0] + 6, q[1] + 3);
-  }
+  });
 }
 async function loadMap(key) {
   M = await (await fetch('map.json?map=' + key)).json();
   if (M.error) { document.getElementById('err').textContent = M.error;
                  return; }
-  sel = -1; fit(); draw(); syncFields();
+  if (!view) fit();
+  sel = Math.min(sel, M.control_points.length - 1);
+  selItem = Math.min(selItem, M.items.length - 1);
+  draw(); syncFields(); syncItemFields();
 }
 function syncFields() {
   document.getElementById('selidx').textContent = sel < 0 ? '-' : sel;
@@ -182,6 +203,21 @@ function syncFields() {
     document.getElementById(f).value =
       sel < 0 ? '' : M.control_points[sel][col].toFixed(2);
   }
+}
+function syncItemFields() {
+  const tbl = document.getElementById('itemfields');
+  if (selItem < 0 || !M.items[selItem]) { tbl.innerHTML = ''; return; }
+  const it = M.items[selItem];
+  tbl.innerHTML = Object.entries(it)
+    .filter(([k, v]) => typeof v === 'number' && k !== 'uuid')
+    .map(([k, v]) => '<tr><td>' + k + '</td><td><input value="' +
+         v + '" onchange="setItemF(\\'' + k + '\\', this.value)">' +
+         '</td></tr>').join('');
+}
+function setItemF(f, v) {
+  if (selItem < 0) return;
+  edit({op: 'set_item_field', uuid: M.items[selItem].uuid,
+        field: f, value: parseFloat(v)});
 }
 async function edit(req) {
   req.map = document.getElementById('map').value;
@@ -206,29 +242,78 @@ function insertCp() {
 }
 function deleteCp() { if (sel >= 0) { edit({op: 'delete_cp', index: sel});
                                       sel = -1; } }
+function addItem() {
+  if (!lastClick) return;
+  edit({op: 'add_item', kind: document.getElementById('itemkind').value,
+        x: lastClick[0], y: lastClick[1]});
+}
+function deleteItem() {
+  if (selItem < 0) return;
+  edit({op: 'delete_item', uuid: M.items[selItem].uuid});
+  selItem = -1;
+}
+function nearest(pts, mx, my, maxD) {
+  let best = -1, bd = maxD * maxD;
+  pts.forEach((p, i) => {
+    const q = W(p), d = (q[0] - mx) ** 2 + (q[1] - my) ** 2;
+    if (d < bd) { bd = d; best = i; }
+  });
+  return best;
+}
 cv.onmousedown = ev => {
   if (!M) return;
   const r = cv.getBoundingClientRect(),
         mx = ev.clientX - r.left, my = ev.clientY - r.top;
-  let best = -1, bd = 144;
-  M.control_points.forEach((p, i) => {
-    const q = W(p), d = (q[0] - mx) ** 2 + (q[1] - my) ** 2;
-    if (d < bd) { bd = d; best = i; }
-  });
-  sel = best; drag = best >= 0; syncFields(); draw();
+  lastClick = U(mx, my);
+  dragKind = null;
+  if (mode() === 'cp') {
+    sel = nearest(M.control_points, mx, my, 12);
+    if (sel >= 0) dragKind = 'cp';
+  } else if (mode() === 'item') {
+    selItem = nearest(M.items.map(it => it.pos), mx, my, 14);
+    if (selItem >= 0) dragKind = 'item';
+  } else {
+    const il = nearest(M.boundary_left, mx, my, 14),
+          ir = nearest(M.boundary_right, mx, my, 14);
+    if (il >= 0 || ir >= 0) {
+      const dl = il >= 0 ? Math.hypot(W(M.boundary_left[il])[0] - mx,
+                                      W(M.boundary_left[il])[1] - my) : 1e9,
+            dr = ir >= 0 ? Math.hypot(W(M.boundary_right[ir])[0] - mx,
+                                      W(M.boundary_right[ir])[1] - my) : 1e9;
+      side = dl < dr ? 'left' : 'right';
+      dragKind = 'boundary';
+    }
+  }
+  syncFields(); syncItemFields(); draw();
 };
 cv.onmousemove = ev => {
-  if (!drag || sel < 0) return;
+  if (!dragKind) return;
   const r = cv.getBoundingClientRect(),
         u = U(ev.clientX - r.left, ev.clientY - r.top);
-  M.control_points[sel][0] = u[0]; M.control_points[sel][1] = u[1];
+  if (dragKind === 'cp' && sel >= 0) {
+    M.control_points[sel][0] = u[0]; M.control_points[sel][1] = u[1];
+  } else if (dragKind === 'item' && selItem >= 0) {
+    M.items[selItem].pos = u;
+  } else if (dragKind === 'boundary') {
+    lastClick = u;
+  }
   draw();
 };
 cv.onmouseup = ev => {
-  if (drag && sel >= 0)
+  if (dragKind === 'cp' && sel >= 0)
     edit({op: 'move_cp', index: sel, x: M.control_points[sel][0],
           y: M.control_points[sel][1]});
-  drag = false;
+  else if (dragKind === 'item' && selItem >= 0)
+    edit({op: 'move_item', uuid: M.items[selItem].uuid,
+          x: M.items[selItem].pos[0], y: M.items[selItem].pos[1]});
+  else if (dragKind === 'boundary')
+    edit({op: 'drag_boundary', side: side,
+          x: lastClick[0], y: lastClick[1]});
+  dragKind = null;
+};
+document.onkeydown = ev => {
+  if (ev.ctrlKey && ev.key === 'z') { ev.preventDefault();
+                                      edit({op: 'undo'}); }
 };
 async function save() {
   const r = await fetch('map/save', {method: 'POST', body: '{}'});
@@ -241,7 +326,7 @@ async function save() {
   const sel2 = document.getElementById('map');
   sel2.innerHTML = Object.keys(maps).map(
     k => '<option>' + k + '</option>').join('');
-  sel2.onchange = () => loadMap(sel2.value);
+  sel2.onchange = () => { view = null; loadMap(sel2.value); };
   if (sel2.value) loadMap(sel2.value);
 })();
 </script>

@@ -34,8 +34,13 @@ _MAP_FIELDS = ("name", "smoothing", "step_size_discr", "closed_path")
 class MapEditor:
     """Edit operations over ``env.maps``; all methods lock the env."""
 
+    UNDO_DEPTH = 50
+
     def __init__(self, env):
         self.env = env
+        # undo stack of (map_key_or_None, deep snapshot); None key means
+        # a store-level op (new/delete map) snapshotting the whole store
+        self._undo = []
 
     # -- queries ----------------------------------------------------
 
@@ -91,6 +96,8 @@ class MapEditor:
     def edit(self, req):
         """Apply one edit operation (dict with an ``op`` field)."""
         op = req["op"]
+        if op == "undo":
+            return self.undo()
         fn = getattr(self, "op_" + op, None)
         if fn is None:
             raise ValueError(f"unknown edit op {op!r}")
@@ -101,13 +108,34 @@ class MapEditor:
                 m = maps.get(req.get("map"))
                 if m is None:
                     raise KeyError(f"no map {req.get('map')!r}")
+                self._push_undo(req.get("map"), util.snapshot(m))
                 fn(m, req, maps)
                 reinit_map(m)
                 reinit_map_items(m, self.env.maps)
             else:
+                self._push_undo(None, util.snapshot(self.env.maps))
                 fn(None, req, maps)
             self.env.reset_counter += 1
             self.env.maps = self.env.maps   # republish through the store
+
+    def _push_undo(self, key, snap):
+        self._undo.append((key, snap))
+        del self._undo[:-self.UNDO_DEPTH]
+
+    def undo(self):
+        """Restore the state before the most recent edit."""
+        if not self._undo:
+            raise ValueError("nothing to undo")
+        key, snap = self._undo.pop()
+        self.env.revalidate()
+        with self.env.lock():
+            if key is None:
+                self.env.maps = snap
+            else:
+                setattr(self.env.maps, key, snap)
+                reinit_map_items(snap, self.env.maps)
+            self.env.reset_counter += 1
+            self.env.maps = self.env.maps
 
     # control points
 
@@ -141,6 +169,24 @@ class MapEditor:
         i0 = int(req.get("start", 0))
         i1 = int(req.get("end", len(m.control_points) - 1))
         m.control_points[i0:i1 + 1, col] = float(req["value"])
+
+    def op_drag_boundary(self, m, req, maps):
+        """Drag a road boundary: reshape the width column (d_left or
+        d_right) so the boundary passes through the dragged position.
+        The width change lands on the control point nearest to the grab
+        location (the reference editor's boundary handles work per
+        control point, gui/views/map_editor.py)."""
+        side = req["side"]
+        if side not in ("left", "right"):
+            raise KeyError(f"side must be left/right, got {side!r}")
+        pos = np.array([float(req["x"]), float(req["y"])])
+        if m.path is None or len(m.path) < 2:
+            raise ValueError("map has no discretized path")
+        proj = util.project(m.path[:, :2], pos)
+        width = proj.distance if side == "left" else -proj.distance
+        cps = np.asarray(m.control_points)
+        i = int(np.argmin(np.linalg.norm(cps[:, :2] - proj.point, axis=1)))
+        cps[i, 2 if side == "left" else 3] = max(0.1, float(width))
 
     # map-level fields
 
@@ -191,6 +237,20 @@ class MapEditor:
     def op_delete_item(self, m, req, maps):
         lst, it = self._find_item(m, req["uuid"])
         lst.remove(it)
+
+    def op_move_item(self, m, req, maps):
+        """Translate an item on the canvas; linked geometry (light
+        position, crosswalk corners, stop position) moves with it."""
+        _, it = self._find_item(m, req["uuid"])
+        new_pos = np.array([float(req["x"]), float(req["y"])])
+        delta = new_pos - np.asarray(it.pos, dtype=np.float64)
+        it.pos = new_pos
+        for f in ("light_pos", "stop_pos"):
+            if hasattr(it, f):
+                setattr(it, f, np.asarray(getattr(it, f)) + delta)
+        if hasattr(it, "corners") and np.asarray(it.corners).size:
+            it.corners = (np.asarray(it.corners, dtype=np.float64)
+                          .reshape(-1, 2) + delta)
 
     def op_set_item_field(self, m, req, maps):
         _, it = self._find_item(m, req["uuid"])
