@@ -62,12 +62,22 @@ def _run_scenario(scenario, planner, max_t=None, max_ticks=None):
     return ticks, np.array(runtimes)
 
 
-def test_cv_3o_rstp_short():
-    """Truncated cv_3o window with the RSTP planner: approach the parked
-    car and begin the evasion, violation-free."""
-    ticks, runtimes = _run_scenario(
-        "acc_2024/cv_3o", "path_vel_decomp_planner", max_t=3.0)
-    assert ticks >= 300
+@pytest.mark.parametrize("planner", [
+    "path_vel_decomp_planner",
+    "dp_lat_lon_planner",
+    "poly_lat_dp_lon_planner",
+    "dp_poly_planner",
+    "lattice_planner",
+    "idm_sampling_planner",
+    "poly_sampling_planner",
+])
+def test_full_cv_3o_every_planner_family(planner):
+    """DEFAULT-GATE closed-loop coverage: every planner family drives the
+    full acc_2024/cv_3o scene (parked car + oncoming traffic) to its
+    manager-set finish with zero rule violations.  The wider scenario x
+    planner matrix stays behind TPL_TPU_SLOW_TESTS."""
+    ticks, runtimes = _run_scenario("acc_2024/cv_3o", planner)
+    assert ticks > 1000
 
 
 @pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")

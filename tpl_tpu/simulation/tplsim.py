@@ -81,7 +81,7 @@ def run(args):
 
     rt = np.array(planner_runtimes[5:]) * 1e3
     print(f"\nscenario {args.scenario}: t={s.t:.2f}s ticks={ticks} "
-          f"wall={time.time()-t_start:.1f}s")
+          f"wall={time.time()-t_start:.1f}s finished={bool(finished)}")
     print(f"planner runtime ms: mean={rt.mean():.2f} std={rt.std():.2f} "
           f"p99={np.percentile(rt, 99):.2f} max={rt.max():.2f}")
     print(f"rule violations: {len(viols)}")
