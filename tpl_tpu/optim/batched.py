@@ -28,9 +28,7 @@ from tpl_tpu.optim.ilqr import EULER, HEUN, RK4, _AL_ZERO
 
 
 def make_batched_update_fn(prob, horizon, batch, integrator=EULER,
-                           dtype=jnp.float32, jit=True,
-                           pallas_linesearch=False,
-                           pallas_interpret=False):
+                           dtype=jnp.float32, jit=True):
     """Build a batched update: state arrays carry a trailing batch dim B.
 
     Returns ``update(x, u, lam, mu_step, x0, params, cfg)`` with
@@ -243,13 +241,6 @@ def make_batched_update_fn(prob, horizon, batch, integrator=EULER,
         return (xs.reshape(H + 1, nx, A, B),
                 us.reshape(H, nu, A, B),
                 c.reshape(A, B))
-
-    if pallas_linesearch:
-        # one Pallas program replaces the 60-step scan of tiny fused ops;
-        # layouts already match, so the swap is transpose-free
-        from tpl_tpu.optim import pallas_rollout
-        fb_rollout = pallas_rollout.make_fb_rollout_lanes(
-            prob, H, B, integrator, f32, interpret=pallas_interpret)
 
     alphas = jnp.asarray(10.0 ** -np.arange(8), f32)
 

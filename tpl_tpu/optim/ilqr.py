@@ -124,9 +124,7 @@ def _integrate(dynamics, x, u, t, dt, params, integrator):
 
 
 def make_update_fn(prob: Problem, horizon: int, integrator: int = EULER,
-                   dtype=jnp.float32, jit: bool = True, unroll: int = 1,
-                   pallas_linesearch: bool = False,
-                   pallas_interpret: bool = False):
+                   dtype=jnp.float32, jit: bool = True, unroll: int = 1):
     """Build the jit-compiled ``update`` for one problem/capacity.
 
     Returns ``update(state, x0, params, cfg) -> (state, info)`` where cfg is
@@ -239,16 +237,7 @@ def make_update_fn(prob: Problem, horizon: int, integrator: int = EULER,
         xs = jnp.concatenate([x0[None], xs_tail], axis=0)
         return xs, us, traj_cost(xs, us, dt, T, params, lam, w)
 
-    if pallas_linesearch:
-        # one Pallas program replaces the 60-step scan of tiny fused ops
-        # (pallas_rollout.py); vmap maps the batch onto the Pallas grid
-        from tpl_tpu.optim import pallas_rollout
-        fb_rollout_v = pallas_rollout.make_fb_rollout_v(
-            prob, horizon, integrator, dtype,
-            interpret=pallas_interpret)
-    else:
-        fb_rollout_v = jax.vmap(fb_rollout,
-                                in_axes=(0,) + (None,) * 12)
+    fb_rollout_v = jax.vmap(fb_rollout, in_axes=(0,) + (None,) * 12)
 
     alphas = jnp.asarray(10.0 ** -np.arange(8), dtype)
 
