@@ -41,6 +41,11 @@ class Params:
         self.a_max = 2.5
         self.j_min = -1.5
         self.j_max = 1.5
+        # replan cadence: the reference planner free-runs in its own
+        # process at whatever rate the rollout sweep achieves; this
+        # in-process build makes the rate explicit, like the DP
+        # planners' replan_time_step (dp_lat_lon_planner.py:39)
+        self.replan_time = 0.05
         self.cpp = IdmSamplingParams()
 
 
@@ -252,14 +257,19 @@ class IdmSamplingPlanner(BasePlanner):
         dt_replan = env.t - self.last_update_time
         if dt_replan == 0.0:
             return self.trajectory
-        self.last_update_time = env.t
 
-        if (self.reset_counter != env.reset_counter or dt_replan < 0.0
-                or not veh.automated):
+        reset_needed = (self.reset_counter != env.reset_counter
+                        or dt_replan < 0.0 or not veh.automated)
+        if reset_needed:
             self.reset_counter = env.reset_counter
             self.invalid_counter = 0
             self.emergency_counter = 0
             self.reset()
+        elif dt_replan < params.replan_time and self.traj_np is not None:
+            # between replans the stored closed-loop plan stays valid;
+            # its timestamps are absolute, so consumers keep tracking it
+            return self.trajectory
+        self.last_update_time = env.t
         dt_replan = max(0.0, dt_replan)
 
         self.update_closest_inters_point(cmap, veh, params)
