@@ -115,7 +115,10 @@ class FlatController(BaseController):
         if stopping:
             steer = prev_steer
         else:
-            steer = np.arctan(np.sign(state[4]) * np.cross(pd, u)
+            # 2-D cross product (np.cross on 2-vectors is removed in
+            # numpy 2.x)
+            cross = pd[0] * u[1] - pd[1] * u[0]
+            steer = np.arctan(np.sign(state[4]) * cross
                               * veh.wheel_base / speed_sq ** 1.5)
 
         # note: the reference computes a steer-rate limit here but then
