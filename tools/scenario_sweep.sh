@@ -29,7 +29,7 @@ for d in "$scen_root"/*/ "$scen_root"/*/*/; do
     fi
     res=$(timeout "$wall" python3 -m tpl_tpu.simulation.tplsim run \
         --scenario "$s" --headless --cpu --no-reload $cap \
-        --app-id "sweep-$(echo "$s" | tr / -)" 2>&1 | tail -6)
+        --app-id "sweep-$(echo "$s" | tr / -)" 2>&1 | tail -20)
     viol=$(echo "$res" | grep -oP 'rule violations: \K\d+' | tail -1)
     if [ -n "$viol" ]; then
         # run completed (finished or max-t reached)
