@@ -76,8 +76,11 @@ def test_full_cv_3o_every_planner_family(planner):
     full acc_2024/cv_3o scene (parked car + oncoming traffic) to its
     manager-set finish with zero rule violations.  The wider scenario x
     planner matrix stays behind TPL_TPU_SLOW_TESTS."""
-    ticks, runtimes = _run_scenario("acc_2024/cv_3o", planner)
+    # safety cap: a planner that stalls the ego must fail, not hang CI
+    ticks, runtimes = _run_scenario("acc_2024/cv_3o", planner,
+                                    max_t=120.0)
     assert ticks > 1000
+    assert ticks < 11900, f"{planner} never finished the scene"
 
 
 @pytest.mark.skipif(not SLOW, reason="set TPL_TPU_SLOW_TESTS=1")

@@ -188,12 +188,14 @@ function draw() {
   });
 }
 async function loadMap(key) {
+  const prevUuid = selItem >= 0 && M ? M.items[selItem].uuid : null;
   M = await (await fetch('map.json?map=' + key)).json();
   if (M.error) { document.getElementById('err').textContent = M.error;
                  return; }
   if (!view) fit();
   sel = Math.min(sel, M.control_points.length - 1);
-  selItem = Math.min(selItem, M.items.length - 1);
+  selItem = prevUuid === null ? -1
+      : M.items.findIndex(it => it.uuid === prevUuid);
   draw(); syncFields(); syncItemFields();
 }
 function syncFields() {
@@ -312,8 +314,11 @@ cv.onmouseup = ev => {
   dragKind = null;
 };
 document.onkeydown = ev => {
-  if (ev.ctrlKey && ev.key === 'z') { ev.preventDefault();
-                                      edit({op: 'undo'}); }
+  if (ev.ctrlKey && ev.key === 'z'
+      && !['INPUT', 'SELECT', 'TEXTAREA'].includes(ev.target.tagName)) {
+    ev.preventDefault();
+    edit({op: 'undo'});
+  }
 };
 async function save() {
   const r = await fetch('map/save', {method: 'POST', body: '{}'});

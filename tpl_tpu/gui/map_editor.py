@@ -109,12 +109,24 @@ class MapEditor:
                 if m is None:
                     raise KeyError(f"no map {req.get('map')!r}")
                 self._push_undo(req.get("map"), util.snapshot(m))
-                fn(m, req, maps)
-                reinit_map(m)
-                reinit_map_items(m, self.env.maps)
+                try:
+                    fn(m, req, maps)
+                    reinit_map(m)
+                    reinit_map_items(m, self.env.maps)
+                except Exception:
+                    # roll the partial edit back and drop the junk
+                    # undo entry, so a failed op is a no-op
+                    key, snap = self._undo.pop()
+                    setattr(self.env.maps, key, snap)
+                    raise
             else:
                 self._push_undo(None, util.snapshot(self.env.maps))
-                fn(None, req, maps)
+                try:
+                    fn(None, req, maps)
+                except Exception:
+                    _, snap = self._undo.pop()
+                    self.env.maps = snap
+                    raise
             self.env.reset_counter += 1
             self.env.maps = self.env.maps   # republish through the store
 

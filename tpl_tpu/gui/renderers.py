@@ -86,8 +86,11 @@ def rstp(ax, comp, local_map):
     op = np.atleast_2d(np.asarray(opt_path))
     ax.plot(op[:, 0], op[:, 1], "-", color="tab:olive", lw=1.2,
             alpha=0.9, zorder=3, label="opt path")
-    # s_leader is ego-relative arc length along the optimized path
-    # (velocity_optim.py select_leader)
+    # s_leader is ego-relative for moving leaders and path-relative for
+    # stationary ones (velocity_optim.py select_leader quirk); the
+    # optimized path is rebuilt from the ego projection each replan, so
+    # the ego sits at arc ~0 and both frames coincide here to within the
+    # warm-start drift
     s_leader = getattr(dbg, "s_leader", None)
     s_path = op[:, 3] - op[0, 3]
     if s_leader is not None and 0.0 < s_leader < s_path[-1]:
@@ -117,11 +120,15 @@ def _draw_occ_overlay(ax, env_dbg, t_slice=0):
         return
     occ = np.asarray(occ)
     l_min, l_step = float(env_dbg.grid_l_min), float(env_dbg.grid_l_step)
-    s_step = float(env_dbg.grid_s_step)
+    # occ cells have their own s spacing (grid_s_cell), distinct from
+    # the anchor rows' ref-line spacing used inside _grid_to_world
+    s_min = float(getattr(env_dbg, "grid_s_min", 0.0))
+    s_cell = float(getattr(env_dbg, "grid_s_cell", env_dbg.grid_s_step))
     si, li = np.nonzero(occ[t_slice] > 0.0)
     if len(si) == 0:
         return
-    x, y = _grid_to_world(env_dbg, si * s_step, l_min + li * l_step)
+    x, y = _grid_to_world(env_dbg, s_min + si * s_cell,
+                          l_min + li * l_step)
     ax.plot(x, y, "s", color="tab:red", ms=2.5, alpha=0.35, zorder=2,
             label="occ grid")
 

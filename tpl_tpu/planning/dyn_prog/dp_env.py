@@ -272,13 +272,19 @@ class DpEnv:
                 dbg.occ_map = np.asarray(grids[0])
                 dbg.dist_map_lon = np.asarray(grids[1])
             # grid geometry for observers (gui/renderers.py): world-frame
-            # (x, y, phi) anchors of the s axis + lateral extents
+            # (x, y, phi) anchors at ref-line spacing, plus the occ
+            # grid's own (s, l) cell coordinates — the two spacings
+            # differ (anchor rows at step_size_ref, occ cells at
+            # (s_max-s_min)/(s_steps-1))
             if cpp.ref_line is not None:
                 anchor = cpp.ref_line[:, :3].copy()
                 anchor[:, 0] += cpp.x_offset
                 anchor[:, 1] += cpp.y_offset
                 dbg.grid_anchor = anchor
                 dbg.grid_s_step = cpp.ref_step
+                dbg.grid_s_min = params.cpp.s_min
+                dbg.grid_s_cell = (params.cpp.s_max - params.cpp.s_min) \
+                    / max(params.cpp.s_steps - 1, 1)
                 dbg.grid_l_min = params.cpp.l_min
                 dbg.grid_l_step = (params.cpp.l_max - params.cpp.l_min) \
                     / max(params.cpp.l_steps - 1, 1)

@@ -166,6 +166,7 @@ class IdmSamplingPlanner(BasePlanner):
         self.i_prev = -1
         self.i_min_prev = 0
         self.t_decision = 0.0
+        self._shift_accum = 0
 
         self._kernel = None
         self._spec = None
@@ -183,6 +184,7 @@ class IdmSamplingPlanner(BasePlanner):
         self.dead_time_states = None
         self.i_prev = -1
         self.t_decision = 0.0
+        self._shift_accum = 0
 
     def update_closest_inters_point(self, cmap, veh, params):
         d_close = 1.0e6
@@ -267,7 +269,10 @@ class IdmSamplingPlanner(BasePlanner):
             self.reset()
         elif dt_replan < params.replan_time and self.traj_np is not None:
             # between replans the stored closed-loop plan stays valid;
-            # its timestamps are absolute, so consumers keep tracking it
+            # its timestamps are absolute, so consumers keep tracking it.
+            # The local-map window keeps sliding each env tick though, so
+            # accumulate the per-tick shifts for the warm-start reseed.
+            self._shift_accum += cmap.shift_idx_start_ref
             return self.trajectory
         self.last_update_time = env.t
         dt_replan = max(0.0, dt_replan)
@@ -278,8 +283,10 @@ class IdmSamplingPlanner(BasePlanner):
         if self.v_ref is None:
             self.v_ref = np.array([[veh.v, veh.a]])
         else:
-            idx = min(cmap.shift_idx_start_ref, len(self.v_ref) - 1)
+            shift = self._shift_accum + cmap.shift_idx_start_ref
+            idx = min(shift, len(self.v_ref) - 1)
             self.v_ref[0, :] = self.v_ref[idx]
+        self._shift_accum = 0
 
         ref_line = cmap.path.copy()
         self.v_ref = rampify_profile(

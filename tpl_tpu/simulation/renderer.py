@@ -182,12 +182,18 @@ def render_scene(env, sim, planners=None, ax=None, window=120.0,
     # resolved through the store's __renderer__ hook
     if planners is not None:
         from tpl_tpu.gui.renderers import draw_component
-        from tpl_tpu.util import snapshot
+        from tpl_tpu.util import Bundle, snapshot
         with planners.lock():
             traj = getattr(planners, "trajectory", None)
             active = getattr(planners, "active_planner", "")
             comp = getattr(planners, active, None)
-            comp = snapshot(comp) if comp is not None else None
+            # snapshot only what the debug views read — copying params
+            # and warm-start state under the planner's lock every frame
+            # would stall the publisher
+            if comp is not None:
+                comp = Bundle(
+                    __renderer__=getattr(comp, "__renderer__", None),
+                    debug=snapshot(getattr(comp, "debug", None)))
         if traj is not None and len(np.atleast_1d(traj.x)) > 1:
             emergency = bool(getattr(traj, "emergency", False))
             ax.plot(traj.x, traj.y, "-",
