@@ -99,38 +99,61 @@ class EvasiveBehavior(Behavior):
         return 1000.0 - self.traj_dp[-1, PP_S]
 
 
-def traj_point_at(traj, t):
-    """Quintic re-expansion between stored maneuver points.
-    (poly_planner.cu:157-186 DynProgPolyTraj::at)"""
-    ts = traj[:, PP_T]
-    i = int(np.clip(np.searchsorted(ts, t, side="right") - 1,
-                    0, max(len(ts) - 2, 0)))
-    j = min(i + 1, len(ts) - 1)
+def traj_points_at(traj, ts):
+    """Quintic re-expansion between stored maneuver points, batched over
+    all query times (poly_planner.cu:157-186 DynProgPolyTraj::at).
+
+    One vectorized Hermite solve covers every query — the planner
+    interpolates ~50 points per tick, and a per-point scalar version
+    cost ~0.5 ms each on the host.
+    """
+    ts = np.asarray(ts, dtype=np.float64)
+    node_t = traj[:, PP_T]
+    n = len(traj)
+    t_end = node_t[-1]
+    i = np.clip(np.searchsorted(node_t, ts, side="right") - 1,
+                0, max(n - 2, 0))
+    j = np.minimum(i + 1, n - 1)
     start, end = traj[i], traj[j]
-    t_end = traj[-1, PP_T]
 
-    res = np.zeros(8)
-    res[PP_T] = t
-    if t > t_end or j == i:
-        lon = PolyQuintic(start[PP_T], start[PP_S], start[PP_DS],
-                          start[PP_DDS], end[PP_T] + 1e-6, end[PP_S],
-                          end[PP_DS], end[PP_DDS])
-        res[PP_DS] = end[PP_DS]
-        res[PP_S] = end[PP_S] + res[PP_DS] * (t - t_end)
-        res[PP_L] = end[PP_L]
-        return res
+    res = np.zeros((len(ts), 8))
+    res[:, PP_T] = ts
 
-    lon = PolyQuintic(start[PP_T], start[PP_S], start[PP_DS], start[PP_DDS],
-                      end[PP_T], end[PP_S], end[PP_DS], end[PP_DDS])
-    lat = PolyQuintic(start[PP_T], start[PP_L], start[PP_DL], start[PP_DDL],
-                      end[PP_T], end[PP_L], end[PP_DL], end[PP_DDL])
-    res[PP_S] = lon.f(t)
-    res[PP_DS] = lon.df(t)
-    res[PP_DDS] = lon.ddf(t)
-    res[PP_L] = lat.f(t)
-    res[PP_DL] = lat.df(t)
-    res[PP_DDL] = lat.ddf(t)
+    # in-segment queries: batched quintics (splines broadcast over the
+    # leading query dim); degenerate segments get a widened span and are
+    # overwritten by the extrapolation branch below
+    et = np.where(end[:, PP_T] > start[:, PP_T],
+                  end[:, PP_T], end[:, PP_T] + 1e-6)
+    lon = PolyQuintic(start[:, PP_T], start[:, PP_S], start[:, PP_DS],
+                      start[:, PP_DDS], et, end[:, PP_S],
+                      end[:, PP_DS], end[:, PP_DDS])
+    lat = PolyQuintic(start[:, PP_T], start[:, PP_L], start[:, PP_DL],
+                      start[:, PP_DDL], et, end[:, PP_L],
+                      end[:, PP_DL], end[:, PP_DDL])
+    res[:, PP_S] = lon.f(ts)
+    res[:, PP_DS] = lon.df(ts)
+    res[:, PP_DDS] = lon.ddf(ts)
+    res[:, PP_L] = lat.f(ts)
+    res[:, PP_DL] = lat.df(ts)
+    res[:, PP_DDL] = lat.ddf(ts)
+
+    # beyond the last node (or on a degenerate segment): constant
+    # velocity along s, frozen lateral offset
+    beyond = (ts > t_end) | (j == i)
+    if beyond.any():
+        e = end[beyond]
+        res[beyond, PP_DS] = e[:, PP_DS]
+        res[beyond, PP_S] = e[:, PP_S] + e[:, PP_DS] * (ts[beyond] - t_end)
+        res[beyond, PP_DDS] = 0.0
+        res[beyond, PP_L] = e[:, PP_L]
+        res[beyond, PP_DL] = 0.0
+        res[beyond, PP_DDL] = 0.0
     return res
+
+
+def traj_point_at(traj, t):
+    """Single-query convenience wrapper over :func:`traj_points_at`."""
+    return traj_points_at(traj, np.array([t]))[0]
 
 
 class DpPolyPlanner(BasePlanner):
@@ -256,7 +279,7 @@ class DpPolyPlanner(BasePlanner):
         traj_dp = self.behavior.traj_dp
 
         ts = np.arange(traj_dp[0, PP_T], (p.t_steps - 1) * p.dt, p.dt_cart)
-        pts = np.stack([traj_point_at(traj_dp, t) for t in ts])
+        pts = traj_points_at(traj_dp, ts)
 
         # frenet -> cartesian (poly_planner.cu:446-494) against the
         # CURRENT host ref-line window (cols 0..5 = x, y, phi, s, k, v):
@@ -347,19 +370,19 @@ class DpPolyPlanner(BasePlanner):
                 self.reset_initial_state(veh, params)
                 return True
 
-        # shift trajectory
+        # shift trajectory: re-expand at the original node times, slide
+        # by the elapsed time and the ref-line window shift, keep nodes
+        # still ahead (one batched quintic solve for all nodes)
         self.init_state = traj_point_at(self.behavior.traj_dp, t_traj)
         self.init_state[PP_T] = 0.0
         self.init_state[PP_S] -= self.ref_line_shift
 
-        shifted = [self.init_state]
-        for s in self.behavior.traj_dp[1:]:
-            p = traj_point_at(self.behavior.traj_dp, s[PP_T])
-            p[PP_T] -= t_traj
-            p[PP_S] -= self.ref_line_shift
-            if p[PP_T] > 0.0:
-                shifted.append(p)
-        self.behavior.traj_dp = np.stack(shifted)
+        pts = traj_points_at(self.behavior.traj_dp,
+                             self.behavior.traj_dp[1:, PP_T])
+        pts[:, PP_T] -= t_traj
+        pts[:, PP_S] -= self.ref_line_shift
+        self.behavior.traj_dp = np.vstack(
+            [self.init_state[None], pts[pts[:, PP_T] > 0.0]])
 
         if env.t - self.behavior.last_replan_time >= params.replan_time:
             return True
