@@ -208,6 +208,45 @@ def test_map_editor(sim_and_gui):
         assert reloaded[key].control_points[0][2] == 4.5
 
 
+def test_paramset_selector(sim_and_gui):
+    """Named param-set load/save through the GUI (reference param-set
+    selector, gui/state_and_params.py:15-29)."""
+    import os
+    import tempfile
+    sim, gui = sim_and_gui
+    sim.update()
+
+    sets = json.loads(_get(gui, "/paramsets.json")[1])
+    assert "default" in sets["planning"]["names"]
+    assert sets["planning"]["active"] in sets["planning"]["names"]
+
+    # loading a set merges its values into the live store
+    with sim.planning_app.sh_planners.lock():
+        sim.planning_app.sh_planners \
+            .path_vel_decomp_planner.params.horizon = 77
+    assert _post(gui, "/paramset",
+                 {"target": "planning", "name": "default"}) == 200
+    with sim.planning_app.sh_planners.lock():
+        assert (sim.planning_app.sh_planners
+                .path_vel_decomp_planner.params.horizon == 250)
+
+    # saving under a new name creates a loadable set
+    with tempfile.TemporaryDirectory() as td:
+        old = util.PATH_PARAMS
+        util.PATH_PARAMS = td
+        try:
+            assert _post(gui, "/paramset/save",
+                         {"target": "planning", "name": "mytune"}) == 200
+            assert os.path.isfile(
+                os.path.join(td, "planning", "mytune", "state.json"))
+            sets = json.loads(_get(gui, "/paramsets.json")[1])
+            assert "mytune" in sets["planning"]["names"]
+            assert _post(gui, "/paramset",
+                         {"target": "planning", "name": "mytune"}) == 200
+        finally:
+            util.PATH_PARAMS = old
+
+
 def test_renderer_hook_dispatch(sim_and_gui):
     """Per-store renderer plug-in pattern (reference resolves
     __renderer__ on each store value, planning_app.py:42): every planner

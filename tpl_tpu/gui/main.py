@@ -48,6 +48,11 @@ _PAGE = """<!doctype html>
  <table id="stats"></table>
  <p>planner <select id="planner"></select>
     controller <select id="controller"></select></p>
+ <p>param sets:
+    planning <select id="ps_planning"></select>
+    control <select id="ps_control"></select>
+    <button onclick="loadPs()">load</button>
+    <button onclick="savePs()">save</button></p>
  <p><button onclick="setSim(true)">run</button>
     <button onclick="setSim(false)">pause</button>
     <a href="editor" style="color:#4a9">map editor</a></p>
@@ -92,7 +97,26 @@ async function tick() {
 function setSim(running) {
   fetch('sim', {method: 'POST', body: JSON.stringify({running})});
 }
-setInterval(tick, 500); tick();
+async function refreshPs() {
+  const ps = await (await fetch('paramsets.json')).json();
+  for (const k of ['planning', 'control']) {
+    const sel = document.getElementById('ps_' + k);
+    sel.innerHTML = ps[k].names.map(n => '<option>' + n +
+                                    '</option>').join('');
+    sel.value = ps[k].active;
+  }
+}
+function loadPs() {
+  for (const k of ['planning', 'control'])
+    fetch('paramset', {method: 'POST', body: JSON.stringify(
+      {target: k, name: document.getElementById('ps_' + k).value})});
+}
+function savePs() {
+  for (const k of ['planning', 'control'])
+    fetch('paramset/save', {method: 'POST', body: JSON.stringify(
+      {target: k, name: document.getElementById('ps_' + k).value})});
+}
+setInterval(tick, 500); tick(); refreshPs();
 </script>
 </body></html>
 """
@@ -420,6 +444,9 @@ class GuiServer:
                     elif path == "/params.json":
                         self._send(200, json.dumps(
                             gui.params_dict()).encode())
+                    elif path == "/paramsets.json":
+                        self._send(200, json.dumps(
+                            gui.paramsets_dict()).encode())
                     elif path == "/maps.json":
                         self._send(200, json.dumps(
                             gui.map_editor.list_maps()).encode())
@@ -450,6 +477,11 @@ class GuiServer:
                                       req["param"], req["value"])
                     elif self.path == "/sim":
                         gui.set_sim(req)
+                    elif self.path == "/paramset":
+                        gui.load_paramset(req["target"], req["name"])
+                    elif self.path == "/paramset/save":
+                        gui.save_paramset(req["target"],
+                                          req.get("name"))
                     elif self.path == "/map/edit":
                         gui.map_editor.edit(req)
                     elif self.path == "/map/save":
@@ -559,6 +591,64 @@ class GuiServer:
             # holds the bundle by reference in-process; over shm the
             # write-back on lock exit persists it)
             setattr(store, name, comp)
+
+    # named param sets (reference: gui/state_and_params.py:15-29 param
+    # set selector with live load/save)
+
+    _KINDS = {"planning": ("active_planner", "planner_names"),
+              "control": ("active_controller", "controller_names")}
+
+    def _param_store(self, target):
+        if target not in self._KINDS:
+            raise KeyError(f"target must be planning/control: {target!r}")
+        store = (self.planning_store if target == "planning"
+                 else self.control_store)
+        return store, *self._KINDS[target]
+
+    def paramsets_dict(self):
+        import os
+        from tpl_tpu import util
+        out = {}
+        for target in self._KINDS:
+            store, _, _ = self._param_store(target)
+            store.revalidate()
+            with store.lock():
+                active = getattr(store, "storage", "default")
+            names = set()
+            bases = [os.path.join(util.PATH_PARAMS, target)]
+            bases += [os.path.join(r, "params", target)
+                      for r in util.data_roots()]
+            for b in bases:
+                if os.path.isdir(b):
+                    names.update(
+                        n for n in os.listdir(b)
+                        if os.path.isfile(os.path.join(b, n, "state.json")))
+            out[target] = dict(names=sorted(names), active=active)
+        return out
+
+    def load_paramset(self, target, name):
+        from tpl_tpu.application.registry import merge_param_set
+        store, active_key, names_key = self._param_store(target)
+        store.revalidate()
+        with store.lock():
+            if not merge_param_set(store, target, active_key, name):
+                raise KeyError(f"no param set {target}/{name!r}")
+            # republish nested mutations through the store (shm writers
+            # persist on attribute set, not on in-place edits)
+            for n in list(getattr(store, names_key)):
+                comp = getattr(store, n, None)
+                if comp is not None:
+                    setattr(store, n, comp)
+
+    def save_paramset(self, target, name=None):
+        from tpl_tpu.application.registry import save_param_set
+        store, active_key, names_key = self._param_store(target)
+        store.revalidate()
+        with store.lock():
+            if name:
+                store.storage = name
+            save_param_set(store, target, active_key,
+                           list(getattr(store, names_key)))
 
     def set_sim(self, req):
         with self.sim_store.lock():
