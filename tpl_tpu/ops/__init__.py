@@ -37,3 +37,16 @@ from tpl_tpu.ops.lqr import (
     lqr_smoother_jax,
     smooth_path_positions,
 )
+
+# reference-surface aliases (tplcpp.smooth_path, utils.cpp:694;
+# tplcpp.gen_prediction_geometry, utils.cpp:576 — the quad form replaces
+# the GL triangle list, dp_environment.py:249)
+smooth_path = smooth_path_positions
+
+
+def gen_prediction_geometry(pred_states, hull, path, ts,
+                            station_step_size=5.0, sweep_length=0.5):
+    from tpl_tpu.planning.dyn_prog.dp_environment import gen_prediction_quads
+    return gen_prediction_quads(pred_states, hull, path, ts,
+                                station_step_size=station_step_size,
+                                sweep_length=sweep_length)
