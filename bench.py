@@ -148,9 +148,12 @@ def bench_idm_rollouts(candidates=16384, iters=10):
 
 
 def bench_poly_sampling(iters=200, warmup=20):
-    """Per-tick latency of the poly-sampling planner's device evaluation
-    (full Werling candidate grid + SAT screen + device argmin, one
-    dispatch; poly_kernel.py). Returns (p99_ms, mean_ms)."""
+    """Per-tick latency of the poly-sampling planner's candidate
+    evaluation (full Werling grid + SAT screen + argmin, one dispatch;
+    poly_kernel.py), measured through the production per-tick path —
+    which pins the dispatch to the host CPU backend like the other
+    latency-bound solvers (poly_sampling_planner._eval_candidates_device).
+    Returns (p99_ms, mean_ms)."""
     from tpl_tpu.planning.poly_sampling import poly_sampling_planner as psp
 
     N = 500
@@ -247,6 +250,17 @@ def main():
     except (PermissionError, OSError):
         pass
 
+    # contamination guard: latency figures are meaningless if the box is
+    # busy (round-2 recorded a 4x-inflated p99 from a concurrent scenario
+    # sweep) — record the pre-bench load so a dirty run is self-evident
+    try:
+        loadavg_1m = os.getloadavg()[0]
+    except OSError:
+        loadavg_1m = -1.0
+    if loadavg_1m > 1.0:
+        print(f"WARNING: loadavg {loadavg_1m:.2f} > 1 before bench start; "
+              "latency figures will be contaminated", file=sys.stderr)
+
     if "--replan-only" in sys.argv:
         p99_ms, mean_ms = bench_rstp_replan()
         print(json.dumps({"p99_ms": p99_ms, "mean_ms": mean_ms}))
@@ -280,9 +294,12 @@ def main():
         "poly_sampling_tick_p99_ms": round(poly_p99_ms, 2),
         "poly_sampling_tick_mean_ms": round(poly_mean_ms, 2),
         "replan_budget_ms": 20.0,
+        "loadavg_1m_at_start": round(loadavg_1m, 2),
         "platform": platform,
         "device": str(jax.devices()[0]),
     }
+    if loadavg_1m > 1.0:
+        result["load_contaminated"] = True
     if tpu_unavailable:
         result["tpu_unavailable"] = True
     print(json.dumps(result))

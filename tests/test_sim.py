@@ -121,3 +121,15 @@ def test_full_scenario_poly_sampling():
     finish the scene violation-free."""
     ticks, runtimes = _run_scenario("acc_2024/cv_3o", "poly_sampling_planner")
     assert ticks > 1000
+
+
+def test_bad_scenario_hard_fails():
+    """A misnamed scenario must raise before the first tick, not
+    silently run whatever scene happens to be in the store (which would
+    let a sweep/CI typo record garbage rule violations)."""
+    from tpl_tpu.simulation import ScenarioLoadError, SimStandalone
+
+    app_id = uuid.uuid4().hex[:8]
+    with pytest.raises(ScenarioLoadError, match="no_such_scenario"):
+        SimStandalone(app_id=app_id,
+                      scenario_path="typo_group/no_such_scenario")

@@ -136,26 +136,48 @@ def make_poly_sampling_kernel(n_cand, n_steps, n_path, n_obs, n_hull):
         cost += PENALTY * jnp.sum(jnp.maximum(0.0, jnp.abs(d) - 4.0), axis=1)
 
         # dense collision screen: ego hull posed at every (cand, step)
-        # against every obstacle hull; padded/invalid obstacles masked
+        # against every obstacle hull; padded/invalid obstacles masked.
+        # The ego is a RECTANGLE, so the generic polygon SAT collapses:
+        # separation on the ego's two axes is an interval test on
+        # obstacle vertices transformed into the ego frame, and the
+        # posed rectangle's projection onto each obstacle edge normal
+        # is an analytic support interval — ~10x less work and temp
+        # memory than materializing per-pose polygon projections.
         if n_obs > 0:
-            hull_ego = jnp.stack([
-                jnp.stack([-pp["rear_axis_to_rear"],
-                           -pp["width_ego"] / 2]),
-                jnp.stack([pp["rear_axis_to_front"],
-                           -pp["width_ego"] / 2]),
-                jnp.stack([pp["rear_axis_to_front"],
-                           pp["width_ego"] / 2]),
-                jnp.stack([-pp["rear_axis_to_rear"],
-                           pp["width_ego"] / 2])])            # (4, 2)
-            cs, sn = jnp.cos(yaw), jnp.sin(yaw)
-            rot = jnp.stack([jnp.stack([cs, -sn], -1),
-                             jnp.stack([sn, cs], -1)], -2)    # (C, N, 2, 2)
-            posed = (jnp.einsum("ka,cnba->cnkb", hull_ego, rot)
-                     + jnp.stack([x, y], -1)[:, :, None, :])  # (C, N, 4, 2)
+            x0e = -pp["rear_axis_to_rear"]      # ego rect in its frame:
+            x1e = pp["rear_axis_to_front"]      # [x0e, x1e] x [-be, be]
+            be = pp["width_ego"] / 2
+            cs, sn = jnp.cos(yaw), jnp.sin(yaw)            # (C, N)
 
-            hits = hulls_intersect(posed[:, :, None],          # (C,N,1,4,2)
-                                   obs_hulls[None, None])      # (1,1,O,K,2)
-            hits &= obs_valid[None, None, :]
+            # obstacle vertices in the ego frame: q = R(yaw)^T (v - c)
+            rel = (obs_hulls[None, None]                    # (1,1,O,K,2)
+                   - jnp.stack([x, y], -1)[:, :, None, None, :])
+            qx = (rel[..., 0] * cs[..., None, None]
+                  + rel[..., 1] * sn[..., None, None])      # (C, N, O, K)
+            qy = (-rel[..., 0] * sn[..., None, None]
+                  + rel[..., 1] * cs[..., None, None])
+            sep_ego = ((qx.max(-1) < x0e) | (qx.min(-1) > x1e)
+                       | (qy.max(-1) < -be) | (qy.min(-1) > be))
+
+            # obstacle edge normals are pose-independent: each obstacle's
+            # own projection interval is a constant per axis, and the
+            # rectangle's interval on axis n is center·n ± support
+            nrm = _edges_normals(obs_hulls)                  # (O, K, 2)
+            po = jnp.einsum("oka,oja->okj", obs_hulls, nrm)  # (O, Kv, Ka)
+            po_min, po_max = po.min(-2), po.max(-2)          # (O, K)
+            # axis n in the ego frame: (n·[cs,sn], n·[-sn,cs])
+            nx = (nrm[None, None, ..., 0] * cs[..., None, None]
+                  + nrm[None, None, ..., 1] * sn[..., None, None])
+            ny = (-nrm[None, None, ..., 0] * sn[..., None, None]
+                  + nrm[None, None, ..., 1] * cs[..., None, None])
+            pc = (nrm[None, None, ..., 0] * x[..., None, None]
+                  + nrm[None, None, ..., 1] * y[..., None, None])
+            hi = jnp.maximum(nx * x0e, nx * x1e) + jnp.abs(ny) * be
+            lo = jnp.minimum(nx * x0e, nx * x1e) - jnp.abs(ny) * be
+            sep_obs = jnp.any((pc + hi < po_min[None, None])
+                              | (pc + lo > po_max[None, None]), -1)
+
+            hits = ~(sep_ego | sep_obs) & obs_valid[None, None, :]
             cost += PENALTY * jnp.sum(hits, axis=(1, 2)).astype(f32)
 
         # ONE packed result array -> one device->host pull per tick

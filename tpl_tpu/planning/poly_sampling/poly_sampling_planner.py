@@ -101,9 +101,33 @@ def candidate_grid(start, pp):
     return di, Ti, tv, ts
 
 
-def _eval_candidates_device(start, path, obstacles, pp):
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _eval_candidates_device(start, path, obstacles, pp, device="cpu"):
     """Evaluate the candidate grid in one jitted device program and pull
-    only the winning (N,)-sized trajectory back."""
+    only the winning (N,)-sized trajectory back.
+
+    device="cpu" (the per-tick default) pins the dispatch to the host
+    CPU backend: a single planner tick is a latency-bound ~300-candidate
+    grid whose host round trip to a tunneled TPU (~25 ms, see
+    fused_replan.py) dwarfs its compute; the host evaluates it in ~2 ms.
+    Batched candidate sweeps should pass device=None to keep the default
+    (accelerator) placement, like the other latency-bound solvers
+    (optim/solver.py device="cpu" pattern).
+    """
+    dev = _cpu_device() if device == "cpu" else None
+    if dev is not None:
+        with jax.default_device(dev):
+            return _eval_candidates_jit(start, path, obstacles, pp)
+    return _eval_candidates_jit(start, path, obstacles, pp)
+
+
+def _eval_candidates_jit(start, path, obstacles, pp):
     di, Ti, tv, ts = candidate_grid(start, pp)
     hulls, valid = poly_kernel.pack_obstacles(obstacles)
     run = poly_kernel.make_poly_sampling_kernel(

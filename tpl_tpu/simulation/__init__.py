@@ -11,7 +11,7 @@ from tpl_tpu.simulation.state import (
     load_sim_state,
     save_sim_state,
 )
-from tpl_tpu.simulation.core import SimCore
+from tpl_tpu.simulation.core import SimCore, ScenarioLoadError
 from tpl_tpu.simulation.standalone import SimStandalone
 from tpl_tpu.simulation.record import (
     SimRecorder,

@@ -30,6 +30,15 @@ from tpl_tpu.application.control_app import load_control_params
 MAX_CATCHUP_STEPS = 100
 
 
+class ScenarioLoadError(RuntimeError):
+    """A scenario path could not be loaded.
+
+    Raised instead of silently continuing with whatever state is in the
+    store (the reference prints and carries on, core.py:52-58 — which
+    lets a misnamed scenario record garbage rule violations against the
+    default scene in sweeps/CI)."""
+
+
 class SimCore:
 
     def __init__(self, app_id="", scenario_path=None):
@@ -54,8 +63,9 @@ class SimCore:
             return
         sim = load_sim_state(scenario_path)
         if sim is None:
-            print(f"Loading scenario {scenario_path} failed!")
-            return
+            raise ScenarioLoadError(
+                f"loading scenario {scenario_path!r} failed "
+                "(not found in any data root)")
 
         self.clock.reset()
         self.acc_delay.clear()
@@ -103,8 +113,14 @@ class SimCore:
             if sh_sim.finished and sh_sim.settings.reload_if_finished:
                 sh_sim.settings.reload_requested = True
             if sh_sim.settings.reload_requested:
-                self.reload_scenario(
-                    self.sh_state.storage, env, planning, control)
+                try:
+                    self.reload_scenario(
+                        self.sh_state.storage, env, planning, control)
+                except ScenarioLoadError as e:
+                    # a live reload request (GUI/store edit) must not
+                    # kill the running sim; drop the request instead
+                    print(f"reload ignored: {e}")
+                    sh_sim.settings.reload_requested = False
             sim = snapshot(self.sh_state.sim)
             sim.manager = self.manager
             sh_sim.settings.single_step_requested = False
