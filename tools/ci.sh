@@ -21,4 +21,7 @@ if [ "${1:-}" = "full" ]; then
     export TPL_TPU_SLOW_TESTS=1
 fi
 
+# README perf figures must match the newest committed bench artifact
+python3 tools/readme_perf.py --check
+
 exec python3 -m pytest tests/ "${args[@]}"

@@ -11,7 +11,6 @@ import copy
 
 import numpy as np
 import jax.numpy as jnp
-from scipy.interpolate import interp1d
 
 from tpl_tpu import util
 from tpl_tpu.util import Bundle
@@ -21,6 +20,10 @@ from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.planning.utils import traj_collision_imminent
+from tpl_tpu.planning.replan_policy import (
+    ReplanPolicy, EmergencyLatch, snapshot_env, pass_gate, cog,
+    stitch_dead_time, trajectory_from_array,
+)
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
 from tpl_tpu.planning.dyn_prog.lat_lon_kernel import (
@@ -97,14 +100,13 @@ class DpLatLonPlanner(BasePlanner):
         self.shared = shared
         self.lock_shared = lock_shared
 
-        self.emergency_counter = 0
-        self.reset_counter = 0
+        # invalid plans latch the emergency trajectory immediately: the
+        # value grid itself judged every action constraint-violating
+        self.latch = EmergencyLatch(cycles=50, tolerance=0)
+        self.policy = ReplanPolicy()
 
         self.last_update_time = -1.0
-        self.last_replan_time = -1.0
         self.dt_start = None
-
-        self.state_reinit_msg = ""
 
         self.traj_dp = None           # (N, 12) frenet trajectory
         self.traj_smooth = np.zeros((1, 12))
@@ -210,7 +212,7 @@ class DpLatLonPlanner(BasePlanner):
             self.runtime_dp = (time.perf_counter() - start) * 1000.0
 
             self.traj_dp = traj
-            self.last_replan_time = env.t
+            self.policy.mark(env.t)
 
         self.update_traj_smooth(params)
         self.update_traj_cart(params)
@@ -319,43 +321,17 @@ class DpLatLonPlanner(BasePlanner):
         (dp_lat_lon_planner.py:150-188)"""
         traj_np = self.traj_smooth_cart.copy()
         traj_np[:, 0] += env.t + params.dead_time
+        traj_np = stitch_dead_time(traj_np, self.trajectory_np, env.t,
+                                   params.dead_time,
+                                   params.cpp.dt_smooth_traj, angle_col=6)
 
-        if self.trajectory_np is None:
-            self.trajectory_np = traj_np
-        self.trajectory_np[:, 6] = np.unwrap(self.trajectory_np[:, 6],
-                                             period=np.pi * 2.0)
-
-        interp_traj = interp1d(self.trajectory_np[:, 0], self.trajectory_np,
-                               axis=0, fill_value="extrapolate")
-        ts = np.arange(env.t, env.t + params.dead_time,
-                       params.cpp.dt_smooth_traj)
-        if len(ts):
-            traj_np = np.concatenate((interp_traj(ts), traj_np), axis=0)
-
-        if self.is_traj_valid(self.traj_dp):
-            self.emergency_counter = max(0, self.emergency_counter - 1)
-        else:
-            self.emergency_counter = 50
-
-        traj = Trajectory()
-        traj.emergency = self.emergency_counter > 0
-        if not traj.emergency:
-            traj.time = traj_np[:, 0]
-            traj.s = traj_np[:, 1]
-            traj.x = traj_np[:, 2]
-            traj.y = traj_np[:, 3]
-            traj.velocity = traj_np[:, 4]
-            traj.acceleration = traj_np[:, 5]
-            traj.orientation = traj_np[:, 6]
-            traj.curvature = traj_np[:, 7]
+        self.latch.note(self.is_traj_valid(self.traj_dp))
 
         self.trajectory_np = traj_np
-        self.trajectory = traj
+        self.trajectory = trajectory_from_array(traj_np, self.latch.active)
 
     def reset_initial_state(self, veh, params):
-        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
-        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
-        proj = util.project(self.dp_env.ref_line[:, :2], [x_cog, y_cog])
+        proj = util.project(self.dp_env.ref_line[:, :2], cog(veh))
 
         init = np.zeros(12)
         init[C_S] = proj.arc_len + veh.v * params.dead_time
@@ -402,40 +378,30 @@ class DpLatLonPlanner(BasePlanner):
         veh = env.vehicle_state
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
+        pol = self.policy
+        pol.reinit_msg = ""
 
-        if self.emergency_counter > 0:
-            self.state_reinit_msg = ""
+        if self.latch.active:
             return True, True
 
-        if not veh.automated:
-            if env.t - self.last_replan_time >= 1.0:
-                self.emergency_counter = 0
-                self.state_reinit_msg = ""
-                return True, True
+        if not veh.automated and env.t - pol.last_replan_time >= 1.0:
+            self.latch.clear()
+            return True, True
 
-        reset_required = self.reset_counter != env.reset_counter
-        self.reset_counter = env.reset_counter
-
+        reset_required = pol.reset_changed(env)
         if self.traj_dp is None or reset_required:
-            self.emergency_counter = 0
-            self.state_reinit_msg = ""
+            self.latch.clear()
             return True, True
 
-        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
-        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
         if (self.trajectory_np is not None
-                and len(self.trajectory.x) > 0):
-            d_traj = np.linalg.norm([self.trajectory.x[0] - x_cog,
-                                     self.trajectory.y[0] - y_cog])
-            if abs(d_traj) > params.d_reinit:
-                self.state_reinit_msg = \
-                    "Warning: Planner reinit, distance to trajectory too high"
-                return True, True
+                and pol.off_plan_start(self.trajectory, veh,
+                                       params.d_reinit)):
+            return True, True
 
         if len(self.traj_dp) < params.cpp.t_steps:
             return True, False
 
-        if env.t - self.last_replan_time > params.replan_time_step:
+        if pol.due(env.t, params.replan_time_step):
             return True, False
 
         # stored-trajectory validity is refreshed against the rebuilt
@@ -457,7 +423,7 @@ class DpLatLonPlanner(BasePlanner):
     def write_debug_data(self, t, params, veh):
         with self.lock_shared():
             dbg = self.shared.debug.planner
-            dbg.reinit_msg = self.state_reinit_msg
+            dbg.reinit_msg = self.policy.reinit_msg
             dbg.runtime_dp = self.runtime_dp
             if params.write_debug_data:
                 dbg.traj_dp = None if self.traj_dp is None \
@@ -467,31 +433,14 @@ class DpLatLonPlanner(BasePlanner):
                     else self.traj_smooth_cart.copy()
 
     def update(self, sh_env):
-        env = self.env
-
-        with sh_env.lock():
-            env.t = sh_env.t
-            env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = snapshot(sh_env.vehicle_state)
-            env.local_map = snapshot(sh_env.local_map)
-            env.local_map_behind = snapshot(sh_env.local_map_behind)
-            env.selected_map = snapshot(sh_env.selected_map)
-            env.tracks = snapshot(sh_env.tracks)
-            env.predicted = snapshot(sh_env.predicted)
-            env.man_time_cons = snapshot(sh_env.man_time_cons)
+        env = snapshot_env(sh_env, self.env)
 
         params = self.update_params(env)
 
-        update_needed = True
-        if env.local_map is None:
-            update_needed = False
-
         if env.t == self.last_update_time and not params.update_always:
             time.sleep(0.001)
-            update_needed = False
-
-        if env.t < self.last_update_time:
-            self.last_update_time = 0.0
+        update_needed, self.last_update_time = pass_gate(
+            env, self.last_update_time, params.update_always)
 
         if update_needed:
             self.shift_trajectory(env, params)

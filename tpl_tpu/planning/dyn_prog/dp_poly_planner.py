@@ -21,6 +21,9 @@ from tpl_tpu.environment import EnvironmentState, map_module
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.planning.utils import traj_collision_imminent
+from tpl_tpu.planning.replan_policy import (
+    ReplanPolicy, snapshot_env, pass_gate, cog, trajectory_from_array,
+)
 from tpl_tpu.planning.dyn_prog.dp_environment import (
     DpEnvironment, DpEnvParams, gen_prediction_quads,
 )
@@ -57,7 +60,13 @@ class Params:
 
 
 class Behavior:
-    """(reference: dp_poly_planner.py:48-93)"""
+    """A behavior option is the same graph-DP solve under a different
+    lateral-keeping weight; the driver runs the active one each replan
+    and switches to whichever option currently scores the lowest cost
+    (negative progress, shifted by a per-behavior handicap).
+    (reference: dp_poly_planner.py:48-93)"""
+
+    w_l = 10.0            # lateral-keeping weight this behavior plans with
 
     def __init__(self):
         self.last_replan_time = 0.0
@@ -65,38 +74,31 @@ class Behavior:
         self.params = None
 
     def configure(self, params):
-        pass
+        self.params = snapshot(params)
+        self.params.dp_planner.w_l = self.w_l
 
     def valid(self):
         return self.traj_dp is not None
 
+    def cost_handicap(self):
+        return 0.0
+
     def cost(self):
-        return float("inf")
+        if not self.valid():
+            return float("inf")
+        return 1000.0 - self.traj_dp[-1, PP_S] - self.cost_handicap()
 
 
 class FollowBehavior(Behavior):
+    w_l = 10.0
 
-    def configure(self, params):
-        self.params = snapshot(params)
-        self.params.dp_planner.w_l = 10.0
-
-    def cost(self):
-        if not self.valid():
-            return float("inf")
-        return (1000.0 - self.traj_dp[-1, PP_S]
-                - self.params.dp_planner.length_veh)
+    def cost_handicap(self):
+        # preferred when evasion gains less than one vehicle length
+        return self.params.dp_planner.length_veh
 
 
 class EvasiveBehavior(Behavior):
-
-    def configure(self, params):
-        self.params = snapshot(params)
-        self.params.dp_planner.w_l = 0.1
-
-    def cost(self):
-        if not self.valid():
-            return float("inf")
-        return 1000.0 - self.traj_dp[-1, PP_S]
+    w_l = 0.1
 
 
 def traj_points_at(traj, ts):
@@ -166,9 +168,9 @@ class DpPolyPlanner(BasePlanner):
         self.shared = shared
         self.lock_shared = lock_shared
 
-        self.reset_counter = 0
+        self.policy = ReplanPolicy()
         self.last_time = -1.0
-        self.last_reinit_time = -1.0
+        self.last_shift_time = -1.0   # per-pass trajectory-age clock
 
         self.ref_line = None
         self.ref_line_shift = 0.0
@@ -212,11 +214,10 @@ class DpPolyPlanner(BasePlanner):
                 proj_prev.arc_len / self.ref_line_step_size) \
                 * self.ref_line_step_size
 
-        self.ref_line = np.zeros((len(env.local_map.path), 9))
-        self.ref_line[:, :6] = env.local_map.path
-        self.ref_line[:, 6] = env.local_map.d_left
-        self.ref_line[:, 7] = env.local_map.d_right
-        self.ref_line_step_size = env.local_map.step_size_ref
+        lm = env.local_map
+        self.ref_line = np.column_stack(
+            [lm.path, lm.d_left, lm.d_right, np.zeros(len(lm.path))])
+        self.ref_line_step_size = lm.step_size_ref
 
         self.ref_line[:, 5] = curv_to_vel_profile(
             self.ref_line[:, 4], self.ref_line[:, 5], params.a_lat_max)
@@ -316,23 +317,11 @@ class DpPolyPlanner(BasePlanner):
                 / np.maximum(seg, 1e-9)
             cart[-1, 7] = cart[-2, 7]
 
-        traj = Trajectory()
-        traj.time = cart[:, 0]
-        traj.s = cart[:, 1]
-        traj.x = cart[:, 2]
-        traj.y = cart[:, 3]
-        traj.velocity = cart[:, 4]
-        traj.acceleration = cart[:, 5]
-        traj.orientation = cart[:, 6]
-        traj.curvature = cart[:, 7]
-
         self.trajectory_np = cart
-        self.trajectory = traj
+        self.trajectory = trajectory_from_array(cart)
 
     def reset_initial_state(self, veh, params):
-        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
-        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
-        proj = util.project(self.ref_line[:, :2], [x_cog, y_cog])
+        proj = util.project(self.ref_line[:, :2], cog(veh))
 
         self.init_state = np.zeros(8)
         self.init_state[PP_S] = proj.arc_len + veh.v * params.dead_time
@@ -345,17 +334,16 @@ class DpPolyPlanner(BasePlanner):
         veh = env.vehicle_state
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
+        pol = self.policy
 
-        t_traj = env.t - self.last_reinit_time
-        self.last_reinit_time = env.t
+        t_traj = env.t - self.last_shift_time
+        self.last_shift_time = env.t
 
         if not veh.automated:
             self.reset_initial_state(veh, params)
             return True
 
-        reset_required = self.reset_counter != env.reset_counter
-        self.reset_counter = env.reset_counter
-
+        reset_required = pol.reset_changed(env)
         if self.behavior.traj_dp is None or reset_required:
             self.reset_initial_state(veh, params)
             return True
@@ -363,10 +351,8 @@ class DpPolyPlanner(BasePlanner):
         if self.trajectory_np is not None and len(self.trajectory.x):
             pos_traj = np.vstack([self.trajectory.x,
                                   self.trajectory.y]).T
-            x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
-            y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
-            d_lat = util.project(pos_traj, [x_cog, y_cog]).distance
-            if abs(d_lat) > params.d_reinit_lat:
+            if pol.off_plan_lateral(util.project, pos_traj, cog(veh),
+                                    params.d_reinit_lat):
                 self.reset_initial_state(veh, params)
                 return True
 
@@ -400,29 +386,23 @@ class DpPolyPlanner(BasePlanner):
                 dbg.traj_dp = self.behavior.traj_dp.copy()
 
     def update(self, sh_env):
-        env = EnvironmentState()
-        with sh_env.lock():
-            if sh_env.local_map is None:
-                return self.trajectory
-            env.t = sh_env.t
-            env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = snapshot(sh_env.vehicle_state)
-            env.local_map = snapshot(sh_env.local_map)
-            env.local_map_behind = snapshot(sh_env.local_map_behind)
-            env.selected_map = snapshot(sh_env.selected_map)
-            env.predicted = snapshot(sh_env.predicted)
+        env = snapshot_env(sh_env, EnvironmentState(),
+                           fields=("vehicle_state", "local_map",
+                                   "local_map_behind", "selected_map",
+                                   "predicted"))
+        if env.local_map is None:
+            return self.trajectory
 
         params = self.update_params(env)
 
-        update_needed = True
         if self.last_time == env.t and not params.update_always:
             time.sleep(0.001)
-            update_needed = False
-
         if self.last_time > env.t:
-            self.last_reinit_time = 0.0
+            self.last_shift_time = 0.0
             for b in self.behavior_options:
                 b.last_replan_time = 0.0
+        update_needed, self.last_time = pass_gate(
+            env, self.last_time, params.update_always)
 
         if update_needed:
             self.last_time = env.t

@@ -31,6 +31,10 @@ from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.planning.utils import traj_collision_imminent
+from tpl_tpu.planning.replan_policy import (
+    ReplanPolicy, EmergencyLatch, snapshot_env, pass_gate,
+    trajectory_from_array,
+)
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog import lon_kernel as lk
 from tpl_tpu.planning.dyn_prog.lon_kernel import (
@@ -72,12 +76,13 @@ class LatticePlanner(BasePlanner):
         self.shared = shared
         self.lock_shared = lock_shared
 
-        self.reset_counter = 0
-        self.invalid_counter = 0
-        self.emergency_counter = 0
+        # plans may stay invalid for a few passes (the next replan
+        # usually repairs them) before the emergency latch engages
+        self.latch = EmergencyLatch(cycles=50, tolerance=10)
+        self.policy = ReplanPolicy()   # policy.last_replan_time doubles
+                                       # as this planner's reinit clock
 
         self.last_update_time = -1.0
-        self.last_reinit_time = -1.0
 
         self.traj_lat = None          # PolyLatTraj
         self.path = None              # (P, 7) PathState array
@@ -154,23 +159,22 @@ class LatticePlanner(BasePlanner):
         t since last reinit >= reinit_time -> warm reinit from the stored
         lateral polynomial; off-path by > d_reinit_lat -> cold reinit)"""
         veh = env.vehicle_state
+        pol = self.policy
 
         if not veh.automated:
             return True, False
 
-        reset_required = self.reset_counter != env.reset_counter
-        self.reset_counter = env.reset_counter
+        reset_required = pol.reset_changed(env)
         if reset_required or self.traj_lon is None \
                 or self.dp_env.ref_line is None \
                 or self.trajectory.emergency:
             return True, False
 
-        if abs(util.project(self.path[:, :2],
-                            [veh.x, veh.y]).distance) \
-                > params.d_reinit_lat:
+        if pol.off_plan_lateral(util.project, self.path[:, :2],
+                                (veh.x, veh.y), params.d_reinit_lat):
             return True, False
 
-        if env.t - self.last_reinit_time >= params.reinit_time:
+        if env.t - pol.last_replan_time >= params.reinit_time:
             return True, True
 
         if not self.is_traj_valid(self.traj_lon):
@@ -206,7 +210,7 @@ class LatticePlanner(BasePlanner):
         veh = env.vehicle_state
         ref_proj = util.project(self.dp_env.ref_line[:, :2],
                                 [veh.x, veh.y])
-        t_traj = env.t - self.last_reinit_time
+        t_traj = env.t - self.policy.last_replan_time
 
         if lat_warm is not None and self.traj_lon is not None:
             self.lat_start = dict(
@@ -230,7 +234,7 @@ class LatticePlanner(BasePlanner):
         self.lon_start[LC_A] = min(params.dyn_prog.a_max, max(
             params.dyn_prog.a_min, self.lon_start[LC_A]))
 
-        self.last_reinit_time = env.t
+        self.policy.mark(env.t)
 
     def update_planner(self, env, params):
         """One full replan: lateral sampling -> path resample + velocity
@@ -304,28 +308,11 @@ class LatticePlanner(BasePlanner):
         traj_np[:, 6] = lat_states[:, TC_H]
         traj_np[:, 7] = lat_states[:, TC_K]
 
-        if not self.is_traj_valid(self.traj_lon):
-            self.invalid_counter += 1
-        else:
-            self.invalid_counter = 0
+        self.latch.note(self.is_traj_valid(self.traj_lon))
 
-        if self.invalid_counter > 10:
-            self.invalid_counter = 0
-            self.emergency_counter = 50
-
-        traj = Trajectory()
-        traj.emergency = self.emergency_counter > 0
+        traj = trajectory_from_array(traj_np, self.latch.active)
         if not traj.emergency:
-            traj.time = traj_np[:, 0]
-            traj.s = traj_np[:, 1]
-            traj.x = traj_np[:, 2]
-            traj.y = traj_np[:, 3]
-            traj.velocity = traj_np[:, 4]
-            traj.acceleration = traj_np[:, 5]
-            traj.orientation = traj_np[:, 6]
-            traj.curvature = traj_np[:, 7]
             self.trajectory_np = traj_np
-
         self.trajectory = traj
 
     def write_debug_data(self, env, params):
@@ -341,27 +328,14 @@ class LatticePlanner(BasePlanner):
             dbg.runtime_dp = self.runtime_dp
 
     def update(self, sh_env):
-        env = self.env
-
-        with sh_env.lock():
-            env.t = sh_env.t
-            env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = snapshot(sh_env.vehicle_state)
-            env.local_map = snapshot(sh_env.local_map)
-            env.local_map_behind = snapshot(sh_env.local_map_behind)
-            env.selected_map = snapshot(sh_env.selected_map)
-            env.tracks = snapshot(sh_env.tracks)
-            env.predicted = snapshot(sh_env.predicted)
-            env.man_time_cons = snapshot(sh_env.man_time_cons)
+        env = snapshot_env(sh_env, self.env)
 
         params = self.update_params(env)
 
-        update_needed = env.local_map is not None
         if env.t == self.last_update_time and not params.update_always:
             time.sleep(0.001)
-            update_needed = False
-        if env.t < self.last_update_time:
-            self.last_update_time = 0.0
+        update_needed, self.last_update_time = pass_gate(
+            env, self.last_update_time, params.update_always)
 
         if update_needed:
             replan, from_traj = self.check_reinit(env, params)
@@ -380,7 +354,7 @@ class LatticePlanner(BasePlanner):
                 self.update_planner(env, params)
                 self.dp_env.finish_deferred_update()
                 self.update_trajectory(env, params)
-            self.emergency_counter = max(0, self.emergency_counter - 1)
+            self.latch.decay()
 
             self.last_update_time = env.t
 

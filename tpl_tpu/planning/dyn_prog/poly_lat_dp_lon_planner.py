@@ -20,6 +20,10 @@ from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.planning.utils import traj_collision_imminent
+from tpl_tpu.planning.replan_policy import (
+    ReplanPolicy, EmergencyLatch, snapshot_env, pass_gate,
+    stitch_dead_time, trajectory_from_array,
+)
 from tpl_tpu.planning.dyn_prog.dp_env import DpEnv
 from tpl_tpu.planning.dyn_prog import lon_kernel as lk
 from tpl_tpu.planning.dyn_prog.lon_kernel import (
@@ -61,15 +65,14 @@ class PolyLatDpLonPlanner(BasePlanner):
         self.shared = shared
         self.lock_shared = lock_shared
 
-        self.reset_counter = 0
-        self.invalid_counter = 0
-        self.emergency_counter = 0
+        # plans may stay invalid for a few passes (the next replan
+        # usually repairs them) before the emergency latch engages
+        self.latch = EmergencyLatch(cycles=50, tolerance=10)
+        self.policy = ReplanPolicy()
 
         self.last_update_time = -1.0
-        self.last_replan_time = -1.0
         self.dt_start = None
 
-        self.state_reinit_msg = ""
         self.ref_proj = None
 
         self.traj_lat = None          # PolyLatTraj
@@ -223,7 +226,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         self.traj_lon = np.asarray(traj, dtype=np.float64)
 
         self.runtime_dp = time.perf_counter() - start
-        self.last_replan_time = env.t
+        self.policy.mark(env.t)
 
     def update_trajectory(self, env, params):
         """(poly_lat_dp_lon_planner.py:186-246)"""
@@ -243,37 +246,15 @@ class PolyLatDpLonPlanner(BasePlanner):
         traj_np[:, 6] = lat_states[:, TC_H]
         traj_np[:, 7] = lat_states[:, TC_K]
 
-        ts_dead = np.arange(env.t, env.t + params.dead_time, 0.1)
-        if len(ts_dead) > 0 and self.trajectory_np is not None:
-            dead = lerp_xs(ts_dead, self.trajectory_np[:, 0],
-                           self.trajectory_np)
-            dead[:, 6] = lerp_xs(ts_dead, self.trajectory_np[:, 0],
-                                 self.trajectory_np[:, 6], angle=True)
-            traj_np = np.concatenate((dead, traj_np), axis=0)
+        traj_np = stitch_dead_time(traj_np, self.trajectory_np, env.t,
+                                   params.dead_time, 0.1, angle_col=6)
 
-        if not self.is_traj_valid(self.traj_lon):
-            self.invalid_counter += 1
-        else:
-            self.invalid_counter = 0
+        self.latch.note(self.is_traj_valid(self.traj_lon))
+        self.latch.decay()
 
-        if self.invalid_counter > 10:
-            self.invalid_counter = 0
-            self.emergency_counter = 50
-        self.emergency_counter = max(0, self.emergency_counter - 1)
-
-        traj = Trajectory()
-        traj.emergency = self.emergency_counter > 0
+        traj = trajectory_from_array(traj_np, self.latch.active)
         if not traj.emergency:
-            traj.time = traj_np[:, 0]
-            traj.s = traj_np[:, 1]
-            traj.x = traj_np[:, 2]
-            traj.y = traj_np[:, 3]
-            traj.velocity = traj_np[:, 4]
-            traj.acceleration = traj_np[:, 5]
-            traj.orientation = traj_np[:, 6]
-            traj.curvature = traj_np[:, 7]
             self.trajectory_np = traj_np
-
         self.trajectory = traj
 
     def reset_initial_state(self, env, params):
@@ -352,35 +333,26 @@ class PolyLatDpLonPlanner(BasePlanner):
         veh = env.vehicle_state
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
+        pol = self.policy
+        pol.reinit_msg = ""
 
         if not veh.automated:
             # the reference resets every pass while a driver is in
             # control, which empties traj_lon and forces a replan
-            self.state_reinit_msg = ""
             return True, True
 
-        reset_required = self.reset_counter != env.reset_counter
-        self.reset_counter = env.reset_counter
-
+        reset_required = pol.reset_changed(env)
         if (self.traj_lon is None or reset_required
                 or self.trajectory.emergency):
-            self.state_reinit_msg = ""
             return True, True
 
-        x_cog = veh.x + np.cos(veh.phi) * veh.wheel_base * 0.5
-        y_cog = veh.y + np.sin(veh.phi) * veh.wheel_base * 0.5
-        if len(self.trajectory.x) > 0:
-            d_traj = np.linalg.norm([self.trajectory.x[0] - x_cog,
-                                     self.trajectory.y[0] - y_cog])
-            if abs(d_traj) > params.d_reinit:
-                self.state_reinit_msg = ("Warning: Planner reinit, "
-                                         "distance to trajectory too high")
-                return True, True
+        if pol.off_plan_start(self.trajectory, veh, params.d_reinit):
+            return True, True
 
         if len(self.traj_lon) < params.cpp_lon.t_steps:
             return True, False
 
-        if env.t - self.last_replan_time > params.replan_time_step:
+        if pol.due(env.t, params.replan_time_step):
             return True, False
 
         # stored-trajectory validity is refreshed on every replan pass
@@ -413,31 +385,14 @@ class PolyLatDpLonPlanner(BasePlanner):
             dbg.runtime_dp = self.runtime_dp
 
     def update(self, sh_env):
-        env = self.env
-
-        with sh_env.lock():
-            env.t = sh_env.t
-            env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = snapshot(sh_env.vehicle_state)
-            env.local_map = snapshot(sh_env.local_map)
-            env.local_map_behind = snapshot(sh_env.local_map_behind)
-            env.selected_map = snapshot(sh_env.selected_map)
-            env.tracks = snapshot(sh_env.tracks)
-            env.predicted = snapshot(sh_env.predicted)
-            env.man_time_cons = snapshot(sh_env.man_time_cons)
+        env = snapshot_env(sh_env, self.env)
 
         params = self.update_params(env)
 
-        update_needed = True
-        if env.local_map is None:
-            update_needed = False
-
         if env.t == self.last_update_time and not params.update_always:
             time.sleep(0.001)
-            update_needed = False
-
-        if env.t < self.last_update_time:
-            self.last_update_time = 0.0
+        update_needed, self.last_update_time = pass_gate(
+            env, self.last_update_time, params.update_always)
 
         if update_needed:
             self.shift_trajectory(env, params)

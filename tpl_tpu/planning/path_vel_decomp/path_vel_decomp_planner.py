@@ -21,6 +21,7 @@ from tpl_tpu.planning.path_vel_decomp.path_optim import (
 from tpl_tpu.planning.path_vel_decomp.velocity_optim import (
     VelocityOptim, Params as VelocityOptimParams)
 from tpl_tpu.environment import EnvironmentState
+from tpl_tpu.planning.replan_policy import snapshot_env
 from tpl_tpu.util import snapshot
 
 
@@ -75,25 +76,19 @@ class PathVelDecompPlanner(BasePlanner):
 
         self.env = EnvironmentState()
 
-    def shift_path(self, path, offset):
-        p = path[:, :2].copy()
-        p[:, 0] -= np.sin(path[:, 2]) * offset
-        p[:, 1] += np.cos(path[:, 2]) * offset
-        return p
-
     def write_debug_data(self, env, params):
+        vo = self.velocity_optim
+        dbg = Bundle()
+        dbg.s_leader = vo.s_leader
+        dbg.v_leader = vo.v_leader
+        if params.write_debug_data:
+            dbg.opt_path = self.path_optim.opt_path
+            dbg.d_lower_constr = self.path_optim.d_lower_constr
+            dbg.d_upper_constr = self.path_optim.d_upper_constr
+            dbg.v_lim = np.maximum(0.0, vo.v_lim)
+            dbg.v_ref = np.maximum(
+                0.0, np.minimum(vo.v_lim, vo.v_ref[:, 0]))
         with self.lock_shared():
-            dbg = Bundle()
-            dbg.s_leader = self.velocity_optim.s_leader
-            dbg.v_leader = self.velocity_optim.v_leader
-            if params.write_debug_data:
-                dbg.opt_path = self.path_optim.opt_path
-                dbg.d_lower_constr = self.path_optim.d_lower_constr
-                dbg.d_upper_constr = self.path_optim.d_upper_constr
-                dbg.v_lim = np.maximum(0.0, self.velocity_optim.v_lim)
-                dbg.v_ref = np.maximum(0.0, np.minimum(
-                    self.velocity_optim.v_lim,
-                    self.velocity_optim.v_ref[:, 0]))
             self.shared.debug = dbg
 
     def screen_trajectory(self, env, params):
@@ -134,28 +129,19 @@ class PathVelDecompPlanner(BasePlanner):
         params.path_optim.horizon = params.horizon
         params.velocity_optim.horizon = params.horizon
 
-        env = self.env
+        env = snapshot_env(sh_env, self.env)
+        if env.local_map is None:
+            return self.trajectory
 
-        with sh_env.lock():
-            if sh_env.local_map is None:
-                return self.trajectory
-
-            env.t = sh_env.t
-            env.reset_counter = sh_env.reset_counter
-            env.vehicle_state = snapshot(sh_env.vehicle_state)
-            env.local_map = snapshot(sh_env.local_map)
-            env.local_map_behind = snapshot(sh_env.local_map_behind)
-            env.selected_map = snapshot(sh_env.selected_map)
-            env.tracks = snapshot(sh_env.tracks)
-            env.predicted = snapshot(sh_env.predicted)
-            env.man_time_cons = snapshot(sh_env.man_time_cons)
-
-            sh_env.local_map.update_inters_paths = True
-            sh_env.local_map.step_shift_idx = 1
-            sh_env.local_map.shift_vel_lim = -int(
-                (env.vehicle_state.rear_axis_to_front
+        # ask the map module for the windowing this planner needs: the
+        # velocity limit window starts min_d_safe behind the front bumper
+        ahead = (env.vehicle_state.rear_axis_to_front
                  + params.velocity_optim.min_d_safe)
-                / sh_env.local_map.step_size_ref)
+        with sh_env.lock():
+            lm = sh_env.local_map
+            lm.update_inters_paths = True
+            lm.step_shift_idx = 1
+            lm.shift_vel_lim = -int(ahead / lm.step_size_ref)
 
         if not params.smooth_only and params.use_fused:
             return self._update_fused(env, params)
@@ -169,25 +155,15 @@ class PathVelDecompPlanner(BasePlanner):
             self.path_optim.update(env, params.path_optim)
             opt_path = self.path_optim.opt_path
 
-        self.velocity_optim.update(opt_path, env, params.velocity_optim)
+        vo = self.velocity_optim
+        vo.update(opt_path, env, params.velocity_optim)
 
-        self.write_debug_data(env, params)
-
-        traj = self.trajectory
-        traj.time = env.t + self.velocity_optim.opt.x[:-1, 1].copy()
-        traj.s = np.arange(
-            0.0,
-            params.velocity_optim.horizon * params.velocity_optim.step,
-            params.velocity_optim.step)
-        traj.x = opt_path[:, 0].copy()
-        traj.y = opt_path[:, 1].copy()
-        traj.orientation = opt_path[:, 2].copy()
-        traj.curvature = opt_path[:, 4].copy()
-        traj.velocity = self.velocity_optim.v_opt
-        traj.acceleration = self.velocity_optim.opt.u[:, 0].copy()
-
-        self.screen_trajectory(env, params)
-        return self.trajectory
+        n = params.velocity_optim.horizon
+        return self._publish(env, params, opt_path,
+                             time_prof=vo.opt.x[:n, 1].copy(),
+                             s=np.arange(n) * params.velocity_optim.step,
+                             velocity=vo.v_opt,
+                             acceleration=vo.opt.u[:, 0].copy())
 
     def _update_fused(self, env, params):
         """Single-dispatch replan through the fused device kernel."""
@@ -222,17 +198,28 @@ class PathVelDecompPlanner(BasePlanner):
         vo.v_opt = out["v_opt"]
         vo.stop_mask = out["stop_mask"][:T]
 
+        return self._publish(env, params, opt_path,
+                             time_prof=out["time_prof"][:T],
+                             s=np.arange(T) * params.velocity_optim.step,
+                             velocity=out["v_opt"],
+                             acceleration=out["acc"][:T])
+
+    def _publish(self, env, params, opt_path, time_prof, s, velocity,
+                 acceleration):
+        """Assemble the planned spatial path + velocity profile into the
+        published trajectory, write debug bundles, and run the per-tick
+        collision screen."""
         self.write_debug_data(env, params)
 
         traj = self.trajectory
-        traj.time = env.t + out["time_prof"][:T]
-        traj.s = np.arange(T) * params.velocity_optim.step
+        traj.time = env.t + time_prof
+        traj.s = s
         traj.x = opt_path[:, 0].copy()
         traj.y = opt_path[:, 1].copy()
         traj.orientation = opt_path[:, 2].copy()
         traj.curvature = opt_path[:, 4].copy()
-        traj.velocity = out["v_opt"]
-        traj.acceleration = out["acc"][:T]
+        traj.velocity = velocity
+        traj.acceleration = acceleration
 
         self.screen_trajectory(env, params)
         return self.trajectory
