@@ -314,3 +314,39 @@ def test_event_log(sim_and_gui):
         sim.env_app.env.vehicle_state.imu_state = 2
     events = json.loads(_get(gui, "/events.json")[1])
     assert any("RTK floating" in e["msg"] for e in events)
+
+
+def test_map_tile_background_layer(tmp_path):
+    """The scene background layer draws cached imagery tiles at world
+    extents and falls back to a coordinate grid without imagery
+    (reference slot: gui/components/map_tiles_component.py)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from tpl_tpu.gui.map_tiles import TileLayer
+
+    # seed one 100 m tile at (0, 0) in the cache layout
+    tdir = tmp_path / "tiles" / "100"
+    tdir.mkdir(parents=True)
+    img = np.zeros((16, 16, 3), np.float32)
+    img[:, :, 1] = 1.0
+    plt.imsave(tdir / "0_0.png", img)
+
+    layer = TileLayer(cache_dir=str(tmp_path / "tiles"), tile_m=100.0)
+    assert (0, 0) in layer.tiles_in_view(-10, 50, -10, 50)
+
+    fig, ax = plt.subplots()
+    layer.draw(ax, -10, 110, -10, 110)
+    # the seeded tile became an image at its world extent
+    assert len(ax.images) == 1
+    assert tuple(ax.images[0].get_extent()) == (0.0, 100.0, 0.0, 100.0)
+    plt.close(fig)
+
+    # no imagery -> procedural grid fallback (lines, no images)
+    empty = TileLayer(cache_dir=str(tmp_path / "none"), tile_m=100.0)
+    fig, ax = plt.subplots()
+    empty.draw(ax, 0, 30, 0, 30)
+    assert len(ax.images) == 0
+    assert len(ax.lines) > 4
+    plt.close(fig)

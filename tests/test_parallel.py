@@ -113,3 +113,53 @@ def test_sharded_latlon_batch_matches_vmap():
         np.testing.assert_allclose(np.asarray(trajs_s[i]),
                                    np.asarray(traj_i),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_env_build_matches_unsharded():
+    """Scenario-batched DP env grid build sharded over 8 devices ==
+    per-scenario _build_grids: rasterization + distance scans are
+    bitwise-independent per scenario."""
+    from tpl_tpu.planning.dyn_prog.dp_environment import _build_grids
+    from tpl_tpu.parallel import scenario_mesh, sharded_env_build
+
+    T, S, L, NR, Q, B = 6, 101, 11, 221, 8, 8
+    rng = np.random.default_rng(3)
+
+    ref_lines = np.zeros((B, NR, 8), np.float32)
+    ref_lines[:, :, 0] = np.arange(NR) * 0.5          # x
+    ref_lines[:, :, 2] = 0.05 * rng.normal(size=(B, 1))  # heading
+    ref_lines[:, :, 4] = 4.0                          # d_left
+    ref_lines[:, :, 5] = 4.0                          # d_right
+
+    quads = np.zeros((B, Q, 4, 2), np.float32)
+    base = np.array([[0., -1.], [3., -1.], [3., 1.], [0., 1.]], np.float32)
+    for b in range(B):
+        for q in range(Q):
+            off = np.array([10.0 + 9 * q + 2 * b, (q % 3 - 1) * 2.0],
+                           np.float32)
+            quads[b, q] = base + off
+    tbits = rng.integers(0, T, size=(B, Q)).astype(np.int32)
+    stats = rng.random((B, Q)) < 0.3
+    valids = rng.random((B, Q)) < 0.8
+
+    scalars = dict(ref_step=np.float32(0.5), dilation=np.float32(1.0),
+                   s_min=np.float32(0.0), s_step=np.float32(1.0),
+                   l_min=np.float32(-5.0), l_step=np.float32(1.0))
+
+    mesh = scenario_mesh(8)
+    build = sharded_env_build(mesh, T, S, L)
+    occ_s, dist_s = build(ref_lines, scalars["ref_step"], quads, tbits,
+                          stats, valids, scalars["dilation"],
+                          scalars["s_min"], scalars["s_step"],
+                          scalars["l_min"], scalars["l_step"])
+
+    for b in range(B):
+        occ_u, dist_u = _build_grids(
+            ref_lines[b], scalars["ref_step"], quads[b], tbits[b],
+            stats[b], valids[b], scalars["dilation"], scalars["s_min"],
+            scalars["s_step"], scalars["l_min"], scalars["l_step"],
+            t_steps=T, s_steps=S, l_steps=L)
+        np.testing.assert_array_equal(np.asarray(occ_s[b]),
+                                      np.asarray(occ_u))
+        np.testing.assert_allclose(np.asarray(dist_s[b]),
+                                   np.asarray(dist_u), rtol=1e-6)

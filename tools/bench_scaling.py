@@ -95,6 +95,72 @@ def bench_one(n_dev, per_dev_batch, horizon, iters, max_iterations):
     return B * iters / dt
 
 
+def compare_distributed(args):
+    """1-process vs 2-process ``jax.distributed`` at IDENTICAL per-device
+    shapes, per-process efficiency derived in-run.
+
+    Layout on one box: each process hosts ``dev_per_proc`` virtual CPU
+    devices, so the 1-proc baseline uses dev_per_proc devices and the
+    2-proc run uses 2 x dev_per_proc — per-device batch, horizon, and
+    iteration counts are identical, and (with dev_per_proc chosen so all
+    devices together <= physical cores) each virtual device maps to its
+    own core in both configs.  efficiency = tput(2 proc) / (2 x
+    tput(1 proc)): what adding a second process over Gloo/DCN-style
+    collectives costs at fixed per-process work.
+    """
+    import socket
+    import subprocess
+
+    dev_per_proc = max(1, (os.cpu_count() or 4) // 2)
+    base_env = dict(os.environ,
+                    JAX_PLATFORMS="cpu",
+                    XLA_FLAGS="--xla_force_host_platform_device_count="
+                              f"{dev_per_proc}")
+    me = os.path.abspath(__file__)
+    common = ["--per-device-batch", str(args.per_device_batch),
+              "--horizon", str(args.horizon),
+              "--iters", str(args.iters),
+              "--max-iterations", str(args.max_iterations)]
+
+    def parse(stdout):
+        for line in reversed(stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        raise RuntimeError("no JSON line in sub-bench output")
+
+    r1 = subprocess.run(
+        [sys.executable, me, "--devices", str(dev_per_proc)] + common,
+        env=base_env, capture_output=True, text=True, timeout=1800)
+    one = parse(r1.stdout)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, me, "--coordinator", coord,
+         "--num-processes", "2", "--process-id", str(i),
+         "--devices", str(2 * dev_per_proc)] + common,
+        env=base_env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=1800) for p in procs]
+    two = parse(outs[0][0])
+
+    t1 = one["solves_per_s"][0]
+    t2 = two["solves_per_s"][0]
+    print(json.dumps({
+        "metric": "distributed_per_process_efficiency",
+        "dev_per_process": dev_per_proc,
+        "per_device_batch": args.per_device_batch,
+        "solves_per_s_1proc": round(t1, 1),
+        "solves_per_s_2proc": round(t2, 1),
+        "efficiency_2proc": round(t2 / (2.0 * t1), 3),
+        "platform": "cpu-virtual",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=512)
@@ -107,7 +173,14 @@ def main():
                     help="host:port for multi-host jax.distributed")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--compare-distributed", action="store_true",
+                    help="orchestrate a 1-proc vs 2-proc jax.distributed "
+                         "comparison at identical per-device shapes")
     args = ap.parse_args()
+
+    if args.compare_distributed:
+        compare_distributed(args)
+        return
 
     from tpl_tpu.parallel import init_distributed
     init_distributed(args.coordinator, args.num_processes, args.process_id)

@@ -7,4 +7,5 @@ from tpl_tpu.parallel.mesh import (
 from tpl_tpu.parallel.kernels import (
     sharded_idm_sweep,
     sharded_latlon_batch,
+    sharded_env_build,
 )

@@ -66,3 +66,28 @@ def sharded_latlon_batch(solve, mesh, axis="dp"):
         out_specs=(P(axis), P(axis)),
         check_vma=False)
     return jax.jit(fn)
+
+
+def sharded_env_build(mesh, t_steps, s_steps, l_steps, axis="dp"):
+    """Scenario-batched DP environment grid build, batch sharded over
+    ``mesh``: every device rasterizes the swept prediction quads and
+    runs the forward/backward distance scans for its own scenario shard
+    (multi-hypothesis world models, fleet evaluation).
+
+    Returns ``build(ref_lines (B, N, 8), ref_step, quads (B, Q, 4, 2),
+    tbits (B, Q), stats (B, Q), valids (B, Q), dilation, s_min, s_step,
+    l_min, l_step) -> (occ (B, T, S, L), dist_lon (B, T, S, L))`` with B
+    divisible by the mesh size; scalar args are shared across scenarios.
+    """
+    import functools
+    from tpl_tpu.planning.dyn_prog.dp_environment import _build_grids
+
+    build = functools.partial(_build_grids, t_steps=t_steps,
+                              s_steps=s_steps, l_steps=l_steps)
+    vbuild = jax.vmap(build, in_axes=(0, None, 0, 0, 0, 0,
+                                      None, None, None, None, None))
+    b, r = P(axis), P()
+    fn = shard_map(vbuild, mesh=mesh,
+                   in_specs=(b, r, b, b, b, b, r, r, r, r, r),
+                   out_specs=(b, b), check_vma=False)
+    return jax.jit(fn)

@@ -103,7 +103,9 @@ class SceneRenderer:
     """Stateful renderer keeping per-object history trails across frames
     (the reference DynamicObjects component's history feature)."""
 
-    def __init__(self, history_len=100):
+    def __init__(self, history_len=100, tiles=True):
+        from tpl_tpu.gui.map_tiles import TileLayer
+        self.tile_layer = TileLayer() if tiles else None
         self.history_len = history_len
         self.ego_history = []
         self.obj_history = {}
@@ -131,14 +133,15 @@ class SceneRenderer:
             env, sim, planners=planners, ax=ax, window=window,
             local_map=local_map, objects=objects,
             ego_history=self.ego_history,
-            obj_history=list(self.obj_history.values()))
+            obj_history=list(self.obj_history.values()),
+            tile_layer=self.tile_layer)
 
     __call__ = render
 
 
 def render_scene(env, sim, planners=None, ax=None, window=120.0,
                  local_map=None, objects=None,
-                 ego_history=None, obj_history=None):
+                 ego_history=None, obj_history=None, tile_layer=None):
     """Render the current scene around the ego; returns an RGB array."""
     own_fig = ax is None
     if own_fig:
@@ -150,6 +153,12 @@ def render_scene(env, sim, planners=None, ax=None, window=120.0,
         with env.lock():
             local_map = env.local_map
             objects = list(env.predicted)
+
+    if tile_layer is not None:
+        # background imagery/grid behind everything (reference slot:
+        # gui/components/map_tiles_component.py)
+        tile_layer.draw(ax, sim.ego.x - window / 2, sim.ego.x + window / 2,
+                        sim.ego.y - window / 2, sim.ego.y + window / 2)
 
     _draw_map(ax, local_map)
     _draw_map_items(ax, local_map)
