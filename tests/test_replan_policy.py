@@ -1,0 +1,145 @@
+"""Unit tests for the shared replan-policy scaffolding
+(tpl_tpu/planning/replan_policy.py) — the life-cycle machinery factored
+out of the planner drivers."""
+
+import numpy as np
+import pytest
+
+from tpl_tpu.planning.replan_policy import (
+    ReplanPolicy, EmergencyLatch, pass_gate, stitch_dead_time,
+    interp_plan, trajectory_from_array, cog,
+)
+
+
+class _Veh:
+    x, y, phi, wheel_base = 10.0, 5.0, 0.0, 3.0
+
+
+class _Env:
+    def __init__(self, t=0.0, reset_counter=0, local_map=object()):
+        self.t = t
+        self.reset_counter = reset_counter
+        self.local_map = local_map
+
+
+def test_cog_offsets_along_heading():
+    x, y = cog(_Veh())
+    assert x == pytest.approx(11.5)
+    assert y == pytest.approx(5.0)
+
+
+def test_emergency_latch_immediate_mode():
+    latch = EmergencyLatch(cycles=3, tolerance=0)
+    assert not latch.note(valid=True)
+    assert latch.note(valid=False)       # latches to 3
+    assert latch.note(valid=True)        # decays 3 -> 2, still active
+    latch.note(valid=True)
+    latch.note(valid=True)               # -> 0
+    assert not latch.active
+    latch.note(valid=False)
+    latch.clear()
+    assert not latch.active
+
+
+def test_emergency_latch_tolerant_mode():
+    latch = EmergencyLatch(cycles=5, tolerance=2)
+    # up to `tolerance` consecutive invalid passes do not latch
+    assert not latch.note(valid=False)
+    assert not latch.note(valid=False)
+    assert latch.note(valid=False)       # 3rd consecutive -> latch
+    # a valid pass resets the streak but the latch persists until decayed
+    assert latch.note(valid=True)
+    for _ in range(5):
+        latch.decay()
+    assert not latch.active
+
+
+def test_replan_policy_reset_and_cadence():
+    pol = ReplanPolicy()
+    env = _Env(reset_counter=1)
+    assert pol.reset_changed(env)        # first observation counts
+    assert not pol.reset_changed(env)
+    env.reset_counter = 2
+    assert pol.reset_changed(env)
+
+    pol.mark(10.0)
+    assert not pol.due(10.05, period=0.1)
+    assert pol.due(10.2, period=0.1)
+
+
+def test_off_plan_start_sets_reinit_msg():
+    pol = ReplanPolicy()
+
+    class _Traj:
+        x = np.array([20.0])
+        y = np.array([5.0])
+
+    assert not pol.off_plan_start(_Traj(), _Veh(), d_reinit=10.0)
+    assert pol.off_plan_start(_Traj(), _Veh(), d_reinit=2.0)
+    assert "reinit" in pol.reinit_msg.lower()
+
+
+def test_pass_gate():
+    env = _Env(t=5.0)
+    run, last = pass_gate(env, last_update_time=4.0)
+    assert run and last == 4.0
+    # unchanged sim time -> skip (unless update_always)
+    run, _ = pass_gate(env, last_update_time=5.0)
+    assert not run
+    run, _ = pass_gate(env, last_update_time=5.0, update_always=True)
+    assert run
+    # backwards time jump -> rewind and run
+    run, last = pass_gate(env, last_update_time=9.0)
+    assert run and last == 0.0
+    # no local map -> never run
+    env.local_map = None
+    run, _ = pass_gate(env, last_update_time=4.0)
+    assert not run
+
+
+def test_interp_plan_handles_degenerate_grids():
+    # duplicate timestamps (fresh reset) must not divide by zero
+    plan = np.zeros((3, 8))
+    plan[:, 0] = [0.0, 0.0, 1.0]
+    plan[:, 2] = [0.0, 2.0, 4.0]
+    out = interp_plan([0.5], plan)
+    assert np.all(np.isfinite(out))
+    # clamped at the ends
+    out = interp_plan([-1.0, 5.0], plan)
+    assert out[0, 2] <= 2.0 and out[1, 2] == pytest.approx(4.0)
+
+
+def test_interp_plan_angle_short_path():
+    plan = np.zeros((2, 8))
+    plan[:, 0] = [0.0, 1.0]
+    plan[:, 6] = [np.pi - 0.1, -np.pi + 0.1]   # wraps through pi
+    out = interp_plan([0.5], plan, angle_col=6)
+    assert abs(out[0, 6]) == pytest.approx(np.pi, abs=1e-6)
+
+
+def test_stitch_dead_time_prepends_window():
+    prev = np.zeros((5, 8))
+    prev[:, 0] = np.arange(5) * 0.1 + 10.0
+    prev[:, 4] = 7.0
+    new = np.zeros((3, 8))
+    new[:, 0] = [10.25, 10.35, 10.45]
+
+    out = stitch_dead_time(new, prev, t=10.05, dead_time=0.2, dt=0.1)
+    assert len(out) == 5                # 2 head rows + 3 new
+    assert out[0, 0] == pytest.approx(10.05)
+    assert out[0, 4] == pytest.approx(7.0)
+    # no previous plan, or zero dead time -> unchanged
+    assert stitch_dead_time(new, None, 10.0, 0.2, 0.1) is new
+    assert stitch_dead_time(new, prev, 10.0, 0.0, 0.1) is new
+
+
+def test_trajectory_from_array():
+    arr = np.arange(16.0).reshape(2, 8)
+    traj = trajectory_from_array(arr)
+    assert not traj.emergency
+    assert traj.time[1] == 8.0 and traj.curvature[0] == 7.0
+    # emergency plans publish only the flag (the control side falls back
+    # to constant deceleration); the arrays stay at their defaults
+    emg = trajectory_from_array(arr, emergency=True)
+    assert emg.emergency
+    np.testing.assert_array_equal(emg.x, np.zeros(1))
