@@ -50,29 +50,26 @@ class EnvironmentState:
         """maneuver velocity constraints: list of (pos0, pos1, v_max)"""
 
     def set_selected_map(self, name_or_uuid):
-        for k, v in util.get_obj_dict(self.maps).items():
-            if k == name_or_uuid or v.name == name_or_uuid:
-                self.selected_map = k
-                self.reset()
-                return True
-        return False
+        match = next((k for k, v in util.get_obj_dict(self.maps).items()
+                      if name_or_uuid in (k, v.name)), None)
+        if match is None:
+            return False
+        self.selected_map = match
+        self.reset()
+        return True
 
     def auto_select_map(self):
-        min_map = None
-        min_proj = None
+        """Select the map the vehicle is on: in its corridor, roughly
+        aligned with its heading (<= 30 deg), closest laterally."""
+        veh = self.vehicle_state
+        candidates = []
         for k, v in util.get_obj_dict(self.maps).items():
-            proj = project(v.path[:, :2],
-                           (self.vehicle_state.x, self.vehicle_state.y))
-            if not proj.in_bounds:
-                continue
-            if np.degrees(abs(short_angle_dist(
-                    proj.angle, self.vehicle_state.phi))) > 30.0:
-                continue
-            if min_proj is None or abs(proj.distance) < abs(min_proj.distance):
-                min_map = v
-                min_proj = proj
-        if min_map is not None:
-            self.selected_map = min_map.uuid
+            proj = project(v.path[:, :2], (veh.x, veh.y))
+            off = abs(short_angle_dist(proj.angle, veh.phi))
+            if proj.in_bounds and np.degrees(off) <= 30.0:
+                candidates.append((abs(proj.distance), v.uuid))
+        if candidates:
+            self.selected_map = min(candidates)[1]
 
     def get_current_map(self):
         return util.get_obj_dict(self.maps).get(self.selected_map)
@@ -81,19 +78,16 @@ class EnvironmentState:
         """local_map_behind + in-bounds intersection path segments."""
         if self.local_map is None:
             return []
-        maps = [self.local_map_behind]
-        for ip in self.local_map.intersection_paths:
-            p = project(self.local_map.path[:, :2], ip.stop_pos)
-            if p.in_bounds and ip.map_segment is not None:
-                maps.append(ip.map_segment)
-        return maps
+        path = self.local_map.path[:, :2]
+        segs = [ip.map_segment
+                for ip in self.local_map.intersection_paths
+                if ip.map_segment is not None
+                and project(path, ip.stop_pos).in_bounds]
+        return [self.local_map_behind, *segs]
 
     def get_all_tracks(self):
-        dyn_objs = []
-        for v in util.get_obj_dict(self.tracks).values():
-            dyn_objs += snapshot(v)
-        dyn_objs += snapshot(self.cpms)
-        return dyn_objs
+        banks = list(util.get_obj_dict(self.tracks).values()) + [self.cpms]
+        return [obj for bank in banks for obj in snapshot(bank)]
 
 
 def SharedEnvironmentState():
