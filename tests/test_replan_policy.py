@@ -91,6 +91,10 @@ def test_pass_gate():
     # backwards time jump -> rewind and run
     run, last = pass_gate(env, last_update_time=9.0)
     assert run and last == 0.0
+    # rewind to exactly t=0 (scenario reload) must still run the pass
+    env0 = _Env(t=0.0)
+    run, last = pass_gate(env0, last_update_time=9.0)
+    assert run and last == 0.0
     # no local map -> never run
     env.local_map = None
     run, _ = pass_gate(env, last_update_time=4.0)
@@ -104,6 +108,9 @@ def test_interp_plan_handles_degenerate_grids():
     plan[:, 2] = [0.0, 2.0, 4.0]
     out = interp_plan([0.5], plan)
     assert np.all(np.isfinite(out))
+    # a 1-row plan must still restate the REQUESTED times, not its own
+    one = interp_plan([3.0, 4.0], plan[:1])
+    np.testing.assert_array_equal(one[:, 0], [3.0, 4.0])
     # clamped at the ends
     out = interp_plan([-1.0, 5.0], plan)
     assert out[0, 2] <= 2.0 and out[1, 2] == pytest.approx(4.0)

@@ -30,6 +30,12 @@ cd "$(dirname "$0")/.."
 scen_root=${SCEN_ROOT:-/root/reference/data/scenarios}
 resdir="$out.d"
 mkdir -p "$resdir"
+cached=$(ls "$resdir" 2>/dev/null | wc -l)
+if [ "$cached" -gt 0 ]; then
+    echo "NOTE: resuming with $cached cached results from $resdir —" \
+         "they reflect the code at the time they ran;" \
+         "rm -r '$resdir' to sweep fresh" >&2
+fi
 
 run_one() {
     # $1 = scenario path; $2 = planner ("" = scenario default)

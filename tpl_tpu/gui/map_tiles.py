@@ -36,12 +36,17 @@ class TileLayer:
     at a few Hz and the visible tile set changes slowly).
     """
 
+    # decoded/absent tile keys kept in memory: bounds the caches to a few
+    # screens' worth so a long drive cannot grow memory with distance
+    MAX_DECODED = 64
+    MAX_MISSING = 4096
+
     def __init__(self, cache_dir=None, tile_m=100.0, grid_step=10.0):
         self.cache_dir = os.path.expanduser(
             cache_dir or os.environ.get("TPL_TPU_MAP_TILES", DEFAULT_CACHE))
         self.tile_m = float(tile_m)
         self.grid_step = float(grid_step)
-        self._decoded = {}
+        self._decoded = {}       # insertion-ordered: FIFO eviction
         self._missing = set()
 
     # -- tile cache ----------------------------------------------------
@@ -58,10 +63,14 @@ class TileLayer:
             return None
         path = self._tile_path(ix, iy)
         if not os.path.exists(path):
+            if len(self._missing) >= self.MAX_MISSING:
+                self._missing.clear()
             self._missing.add(key)
             return None
         import matplotlib.pyplot as plt
         img = plt.imread(path)
+        while len(self._decoded) >= self.MAX_DECODED:
+            self._decoded.pop(next(iter(self._decoded)))
         self._decoded[key] = img
         return img
 

@@ -19,6 +19,7 @@ from tpl_tpu.ops import rampify_profile, convex_hull, project
 from tpl_tpu.ops.interp import short_angle_dist, lerp_xs
 from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
+from tpl_tpu.planning.replan_policy import EmergencyLatch
 from tpl_tpu.planning.trajectory import Trajectory
 from tpl_tpu.planning.idm_sampling import idm_kernel
 from tpl_tpu.planning.idm_sampling.idm_kernel import (
@@ -151,8 +152,9 @@ class IdmSamplingPlanner(BasePlanner):
         self.lock_shared = lock_shared
 
         self.reset_counter = 0
-        self.invalid_counter = 0
-        self.emergency_counter = 0
+        # the rollout eval may pick an invalid-but-least-bad candidate
+        # for many passes before the latch engages (tolerance 50)
+        self.latch = EmergencyLatch(cycles=50, tolerance=50)
         self.reverse_counter = 0
         self.enable_reverse = False
 
@@ -264,8 +266,7 @@ class IdmSamplingPlanner(BasePlanner):
                         or dt_replan < 0.0 or not veh.automated)
         if reset_needed:
             self.reset_counter = env.reset_counter
-            self.invalid_counter = 0
-            self.emergency_counter = 0
+            self.latch.clear()
             self.reset()
         elif dt_replan < params.replan_time and self.traj_np is not None:
             # between replans the stored closed-loop plan stays valid;
@@ -444,15 +445,8 @@ class IdmSamplingPlanner(BasePlanner):
             self.dead_time_states = np.vstack(
                 [self.dead_time_states, s[None]])
 
-        invalid = bool(costs["invalid"][i_select])
-        if invalid:
-            self.invalid_counter += 1
-        else:
-            self.invalid_counter = 0
-        if self.invalid_counter > 50:
-            self.invalid_counter = 0
-            self.emergency_counter = 50
-        self.emergency_counter = max(0, self.emergency_counter - 1)
+        self.latch.note(not bool(costs["invalid"][i_select]))
+        self.latch.decay()
 
         # reverse detection (idm_sampling_planner.py:208-217)
         if veh.v < 0.1:
@@ -461,7 +455,7 @@ class IdmSamplingPlanner(BasePlanner):
             self.reverse_counter = 0
         self.enable_reverse = self.reverse_counter == 100
 
-        emergency = self.emergency_counter > 0
+        emergency = self.latch.active
         if not emergency:
             tr = Trajectory()
             tr.time = env.t + sel_states[:, V_T]

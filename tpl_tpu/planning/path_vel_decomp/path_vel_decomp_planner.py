@@ -139,6 +139,8 @@ class PathVelDecompPlanner(BasePlanner):
                  + params.velocity_optim.min_d_safe)
         with sh_env.lock():
             lm = sh_env.local_map
+            if lm is None:      # env reset between the two lock windows
+                return self.trajectory
             lm.update_inters_paths = True
             lm.step_shift_idx = 1
             lm.shift_vel_lim = -int(ahead / lm.step_size_ref)

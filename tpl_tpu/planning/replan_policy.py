@@ -139,11 +139,15 @@ class ReplanPolicy:
 def pass_gate(env, last_update_time, update_always=False):
     """Per-pass gating common to all drivers: skip without a local map
     or when sim time has not advanced; returns (run_pass, new_last_time)
-    where new_last_time rewinds to 0 on a backwards time jump."""
-    if env.t < last_update_time:
-        last_update_time = 0.0
+    where new_last_time rewinds to 0 on a backwards time jump.
+
+    The staleness check runs against the PRE-rewind clock: after a time
+    jump backwards (scenario reload to t = 0) the pass must run once
+    even when the new time equals the rewound clock."""
     run = env.local_map is not None and (
         env.t != last_update_time or update_always)
+    if env.t < last_update_time:
+        last_update_time = 0.0
     return run, last_update_time
 
 
@@ -157,7 +161,9 @@ def interp_plan(ts, plan, angle_col=None):
     xs = plan[:, 0]
     n = len(plan)
     if n == 1:
-        return np.repeat(plan, len(ts), axis=0)
+        out = np.repeat(plan, len(ts), axis=0)
+        out[:, 0] = ts
+        return out
     i = np.clip(np.searchsorted(xs, ts, side="right") - 1, 0, n - 2)
     j = i + 1
     a = np.clip((ts - xs[i]) / np.maximum(xs[j] - xs[i], 1e-9),

@@ -118,9 +118,12 @@ class SimCore:
                         self.sh_state.storage, env, planning, control)
                 except ScenarioLoadError as e:
                     # a live reload request (GUI/store edit) must not
-                    # kill the running sim; drop the request instead
+                    # kill the running sim; drop the request, and stop
+                    # reload_if_finished from re-requesting the broken
+                    # path every tick (re-enable it after fixing it)
                     print(f"reload ignored: {e}")
                     sh_sim.settings.reload_requested = False
+                    sh_sim.settings.reload_if_finished = False
             sim = snapshot(self.sh_state.sim)
             sim.manager = self.manager
             sh_sim.settings.single_step_requested = False
