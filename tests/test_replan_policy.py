@@ -79,6 +79,25 @@ def test_off_plan_start_sets_reinit_msg():
     assert "reinit" in pol.reinit_msg.lower()
 
 
+def test_reinit_msg_latches_across_passes():
+    # the GUI event log polls slower than the planner loop: the message
+    # must survive MSG_LATCH_PASSES per-pass tick_msg() calls, not one
+    pol = ReplanPolicy()
+    pol.set_msg("Warning: Planner reinit")
+    for _ in range(ReplanPolicy.MSG_LATCH_PASSES - 1):
+        pol.tick_msg()
+        assert pol.reinit_msg
+    pol.tick_msg()
+    assert pol.reinit_msg == ""
+    # a fresh set_msg mid-decay re-arms the full latch
+    pol.set_msg("again")
+    pol.tick_msg()
+    pol.set_msg("again")
+    for _ in range(ReplanPolicy.MSG_LATCH_PASSES - 1):
+        pol.tick_msg()
+    assert pol.reinit_msg == "again"
+
+
 def test_pass_gate():
     env = _Env(t=5.0)
     run, last = pass_gate(env, last_update_time=4.0)
@@ -135,9 +154,15 @@ def test_stitch_dead_time_prepends_window():
     assert len(out) == 5                # 2 head rows + 3 new
     assert out[0, 0] == pytest.approx(10.05)
     assert out[0, 4] == pytest.approx(7.0)
-    # no previous plan, or zero dead time -> unchanged
-    assert stitch_dead_time(new, None, 10.0, 0.2, 0.1) is new
+    # zero dead time -> unchanged
     assert stitch_dead_time(new, prev, 10.0, 0.0, 0.1) is new
+    # cold start (no previous plan): the head window is still covered,
+    # sampled from the new plan itself (clamped -> restates row 0), so
+    # controllers querying current t read in-range values on pass one
+    cold = stitch_dead_time(new, None, 10.05, 0.2, 0.1)
+    assert len(cold) == 5
+    assert cold[0, 0] == pytest.approx(10.05)
+    np.testing.assert_allclose(cold[0, 1:], new[0, 1:])
 
 
 def test_trajectory_from_array():

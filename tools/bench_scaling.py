@@ -107,6 +107,10 @@ def compare_distributed(args):
     own core in both configs.  efficiency = tput(2 proc) / (2 x
     tput(1 proc)): what adding a second process over Gloo/DCN-style
     collectives costs at fixed per-process work.
+
+    ``--batch-sweep`` sweeps per_device_batch across an operating curve:
+    the process-boundary cost is fixed per step, so efficiency rises
+    with batch; the curve shows where it crosses the 0.80 target.
     """
     import socket
     import subprocess
@@ -117,48 +121,81 @@ def compare_distributed(args):
                     XLA_FLAGS="--xla_force_host_platform_device_count="
                               f"{dev_per_proc}")
     me = os.path.abspath(__file__)
-    common = ["--per-device-batch", str(args.per_device_batch),
-              "--horizon", str(args.horizon),
-              "--iters", str(args.iters),
-              "--max-iterations", str(args.max_iterations)]
 
-    def parse(stdout):
+    def parse(stdout, stderr):
         for line in reversed(stdout.strip().splitlines()):
             try:
                 return json.loads(line)
             except json.JSONDecodeError:
                 continue
-        raise RuntimeError("no JSON line in sub-bench output")
+        raise RuntimeError("no JSON line in sub-bench output; stderr:\n"
+                           + stderr[-2000:])
 
-    r1 = subprocess.run(
-        [sys.executable, me, "--devices", str(dev_per_proc)] + common,
-        env=base_env, capture_output=True, text=True, timeout=1800)
-    one = parse(r1.stdout)
+    def run_pair(per_device_batch):
+        common = ["--per-device-batch", str(per_device_batch),
+                  "--horizon", str(args.horizon),
+                  "--iters", str(args.iters),
+                  "--max-iterations", str(args.max_iterations)]
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
-    procs = [subprocess.Popen(
-        [sys.executable, me, "--coordinator", coord,
-         "--num-processes", "2", "--process-id", str(i),
-         "--devices", str(2 * dev_per_proc)] + common,
-        env=base_env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True) for i in range(2)]
-    outs = [p.communicate(timeout=1800) for p in procs]
-    two = parse(outs[0][0])
+        r1 = subprocess.run(
+            [sys.executable, me, "--devices", str(dev_per_proc)] + common,
+            env=base_env, capture_output=True, text=True, timeout=1800)
+        if r1.returncode != 0:
+            raise RuntimeError(
+                f"1-proc sub-bench failed (rc={r1.returncode}); stderr:\n"
+                + r1.stderr[-2000:])
+        one = parse(r1.stdout, r1.stderr)
 
-    t1 = one["solves_per_s"][0]
-    t2 = two["solves_per_s"][0]
-    print(json.dumps({
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        procs = [subprocess.Popen(
+            [sys.executable, me, "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(i),
+             "--devices", str(2 * dev_per_proc)] + common,
+            env=base_env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True) for i in range(2)]
+        try:
+            outs = [p.communicate(timeout=1800) for p in procs]
+        finally:
+            # a TimeoutExpired (or rank-0 crash) must not orphan siblings
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        for i, (p, (_, err)) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"2-proc sub-bench rank {i} failed "
+                    f"(rc={p.returncode}); stderr:\n" + err[-2000:])
+        two = parse(*outs[0])
+        return one["solves_per_s"][0], two["solves_per_s"][0]
+
+    batches = args.batch_sweep or [args.per_device_batch]
+    rows = []
+    for b in batches:
+        t1, t2 = run_pair(b)
+        rows.append({"per_device_batch": b,
+                     "solves_per_s_1proc": round(t1, 1),
+                     "solves_per_s_2proc": round(t2, 1),
+                     "efficiency_2proc": round(t2 / (2.0 * t1), 3)})
+        print(f"# batch {b}: eff {rows[-1]['efficiency_2proc']}",
+              file=sys.stderr)
+
+    best = max(rows, key=lambda r: r["efficiency_2proc"])
+    out = {
         "metric": "distributed_per_process_efficiency",
         "dev_per_process": dev_per_proc,
-        "per_device_batch": args.per_device_batch,
-        "solves_per_s_1proc": round(t1, 1),
-        "solves_per_s_2proc": round(t2, 1),
-        "efficiency_2proc": round(t2 / (2.0 * t1), 3),
         "platform": "cpu-virtual",
-    }))
+        "curve": rows,
+        "best_efficiency_2proc": best["efficiency_2proc"],
+        "best_per_device_batch": best["per_device_batch"],
+    }
+    # single-point runs keep the flat round-3 schema for compatibility
+    if len(rows) == 1:
+        out.update(rows[0])
+    print(json.dumps(out))
 
 
 def main():
@@ -176,6 +213,9 @@ def main():
     ap.add_argument("--compare-distributed", action="store_true",
                     help="orchestrate a 1-proc vs 2-proc jax.distributed "
                          "comparison at identical per-device shapes")
+    ap.add_argument("--batch-sweep", type=int, nargs="*", default=None,
+                    help="with --compare-distributed: sweep per-device "
+                         "batch sizes and report the efficiency curve")
     args = ap.parse_args()
 
     if args.compare_distributed:

@@ -105,11 +105,16 @@ class TileLayer:
         """Procedural fallback: light metric grid with tile boundaries
         emphasized, so the layer proves its slot without imagery data."""
         g = self.grid_step
-        for x in np.arange(math.floor(x0 / g) * g, x1 + g, g):
-            major = abs(x % self.tile_m) < 1e-6
-            ax.axvline(x, color="#3a3a3a" if major else "#2a2a2a",
+        # integer line indices, not float positions: np.arange accumulates
+        # error at large world coordinates, and `x % tile_m` lands near
+        # tile_m (not 0) for slightly-below-boundary values, so a naive
+        # `x % tile_m < eps` misclassifies major lines
+        lines_per_tile = max(1, round(self.tile_m / g))
+        for i in range(math.floor(x0 / g), math.ceil(x1 / g) + 1):
+            major = i % lines_per_tile == 0
+            ax.axvline(i * g, color="#3a3a3a" if major else "#2a2a2a",
                        lw=0.8 if major else 0.4, zorder=0)
-        for y in np.arange(math.floor(y0 / g) * g, y1 + g, g):
-            major = abs(y % self.tile_m) < 1e-6
-            ax.axhline(y, color="#3a3a3a" if major else "#2a2a2a",
+        for i in range(math.floor(y0 / g), math.ceil(y1 / g) + 1):
+            major = i % lines_per_tile == 0
+            ax.axhline(i * g, color="#3a3a3a" if major else "#2a2a2a",
                        lw=0.8 if major else 0.4, zorder=0)

@@ -379,7 +379,7 @@ class DpLatLonPlanner(BasePlanner):
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
         pol = self.policy
-        pol.reinit_msg = ""
+        pol.tick_msg()
 
         if self.latch.active:
             return True, True

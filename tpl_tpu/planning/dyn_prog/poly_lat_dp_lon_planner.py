@@ -334,7 +334,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         self.ref_proj = util.project(env.local_map.path[:, :2],
                                      [veh.x, veh.y])
         pol = self.policy
-        pol.reinit_msg = ""
+        pol.tick_msg()
 
         if not veh.automated:
             # the reference resets every pass while a driver is in

@@ -89,12 +89,33 @@ class EmergencyLatch:
 class ReplanPolicy:
     """Bookkeeping shared by every driver's replan decision: environment
     reset tracking, replan cadence, off-plan deviation, and the reinit
-    message surfaced to the debug store."""
+    message surfaced to the debug store.
+
+    Reinit messages are latched for :attr:`MSG_LATCH_PASSES` planner
+    passes (drivers call :meth:`tick_msg` once per pass instead of
+    clearing the field): the GUI event log polls the debug store at a
+    few Hz while the planner loop runs much faster, so a message that
+    lives for exactly one pass can fall between two polls."""
+
+    MSG_LATCH_PASSES = 10
 
     def __init__(self):
         self.reset_counter = 0
         self.last_replan_time = -1.0
         self.reinit_msg = ""
+        self._msg_passes = 0
+
+    def set_msg(self, msg):
+        self.reinit_msg = msg
+        self._msg_passes = self.MSG_LATCH_PASSES
+
+    def tick_msg(self):
+        """Per-pass decay of the latched reinit message; a fresh
+        :meth:`set_msg` re-arms the latch."""
+        if self._msg_passes > 0:
+            self._msg_passes -= 1
+            if self._msg_passes == 0:
+                self.reinit_msg = ""
 
     def reset_changed(self, env):
         """True when the environment's reset counter moved (world jump:
@@ -117,8 +138,8 @@ class ReplanPolicy:
         x_cog, y_cog = cog(veh)
         d = np.hypot(trajectory.x[0] - x_cog, trajectory.y[0] - y_cog)
         if d > d_reinit:
-            self.reinit_msg = ("Warning: Planner reinit, distance to "
-                               "trajectory too high")
+            self.set_msg("Warning: Planner reinit, distance to "
+                         "trajectory too high")
             return True
         return False
 
@@ -130,8 +151,8 @@ class ReplanPolicy:
             return False
         d = project(points_xy, pos).distance
         if abs(d) > d_reinit:
-            self.reinit_msg = ("Warning: Planner reinit, distance to "
-                               "trajectory too high")
+            self.set_msg("Warning: Planner reinit, distance to "
+                         "trajectory too high")
             return True
         return False
 
@@ -182,7 +203,14 @@ def stitch_dead_time(traj_np, prev_np, t, dead_time, dt, angle_col=None):
     so the head of the published trajectory must restate what the
     vehicle is already committed to."""
     if prev_np is None:
-        return traj_np
+        # Cold start: no previous plan exists, but the published
+        # trajectory must still cover [t, t + dead_time) so controllers
+        # querying current t read in-range head values on the very first
+        # pass.  Sample the head from the new plan itself — interp_plan
+        # clamps, so this restates row 0, matching the reference's
+        # back-extrapolation closely (fill_value='extrapolate' on a plan
+        # whose head row IS the current state).
+        prev_np = traj_np
     ts = np.arange(t, t + dead_time, dt)
     if len(ts) == 0:
         return traj_np
