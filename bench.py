@@ -44,10 +44,9 @@ def _probe_default_backend(timeout_s=180.0):
         return False
 
 
-def bench_batched_mpc(batch=2048, iters=10, horizon=60, max_iterations=8):
-    """Full AL-iLQR tracking-MPC solves/s via the batch-in-lanes engine
-    (tpl_tpu/optim/batched.py: batch in the TPU lane dimension — ~28%
-    faster than vmap over the per-instance engine on v5e)."""
+def _mpc_batched_setup(batch=2048, horizon=60, max_iterations=8):
+    """Build the lanes-batched AL-iLQR update and its call args (shared
+    by the bench and the roofline accounting, tools/roofline.py)."""
     import __graft_entry__ as ge
     from tpl_tpu.optim import batched, ilqr
 
@@ -65,26 +64,30 @@ def bench_batched_mpc(batch=2048, iters=10, horizon=60, max_iterations=8):
     ul = jnp.transpose(bstate.u, (1, 2, 0))
     laml = jnp.transpose(bstate.lam, (1, 2, 0))
     mus = jnp.zeros((batch,), jnp.int32)
+    return lupdate, (xl, ul, laml, mus, bx0.T, params, cfg)
+
+
+def bench_batched_mpc(batch=2048, iters=10, horizon=60, max_iterations=8):
+    """Full AL-iLQR tracking-MPC solves/s via the batch-in-lanes engine
+    (tpl_tpu/optim/batched.py: batch in the TPU lane dimension — ~28%
+    faster than vmap over the per-instance engine on v5e)."""
+    lupdate, args = _mpc_batched_setup(batch, horizon, max_iterations)
 
     # warm up / compile
-    out = lupdate(xl, ul, laml, mus, bx0.T, params, cfg)
+    out = lupdate(*args)
     jax.block_until_ready(out[0])
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = lupdate(xl, ul, laml, mus, bx0.T, params, cfg)
+        out = lupdate(*args)
     jax.block_until_ready(out[0])
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
 
-def bench_idm_rollouts(candidates=16384, iters=10):
-    """Closed-loop rollout throughput (the BASELINE.json rollout target).
-
-    16k candidates per dispatch: the kernel evaluates them in 1024-wide
-    chunks (idm_kernel.py run()), so the 100-step sequential scan latency
-    amortizes across chunks and throughput scales ~linearly with the
-    candidate count up to HBM limits."""
+def _idm_setup(candidates=16384):
+    """Build the IDM rollout kernel and its call args (shared by the
+    bench and the roofline accounting, tools/roofline.py)."""
     from tpl_tpu.planning.idm_sampling import idm_kernel
     from tpl_tpu.planning.idm_sampling.idm_kernel import IdmSamplingParams
 
@@ -133,10 +136,24 @@ def bench_idm_rollouts(candidates=16384, iters=10):
     d_stops = jnp.full(C, 1e6, jnp.float32)
     objs_dev = {k: jnp.asarray(v) for k, v in objs.items()}
 
+    args = (jnp.asarray(init_ref), jnp.asarray(init_con),
+            l_trgs, d_stops, jnp.float32(0.1), jnp.asarray(rl),
+            jnp.float32(0.5), objs_dev, ppd, jnp.float32(0.0))
+    return kernel, args
+
+
+def bench_idm_rollouts(candidates=16384, iters=10):
+    """Closed-loop rollout throughput (the BASELINE.json rollout target).
+
+    16k candidates per dispatch: the kernel evaluates them in 1024-wide
+    chunks (idm_kernel.py run()), so the 100-step sequential scan latency
+    amortizes across chunks and throughput scales ~linearly with the
+    candidate count up to HBM limits."""
+    kernel, kargs = _idm_setup(candidates)
+    C = candidates
+
     def call():
-        return kernel(jnp.asarray(init_ref), jnp.asarray(init_con),
-                      l_trgs, d_stops, jnp.float32(0.1), jnp.asarray(rl),
-                      jnp.float32(0.5), objs_dev, ppd, jnp.float32(0.0))
+        return kernel(*kargs)
 
     jax.block_until_ready(call()[0])
     t0 = time.perf_counter()
@@ -203,6 +220,130 @@ def bench_rstp_replan_subprocess(timeout_s=600.0):
     raise RuntimeError("replan sub-bench failed:\n" + r.stderr[-2000:])
 
 
+def bench_dp_replan(planner_name="dp_lat_lon_planner",
+                    scenario="acc_2024/cv_3o", replans=100,
+                    warmup_replans=10, replan_time_step=0.2):
+    """One real receding-horizon DP replan tick through the actual driver
+    (reference timing shape: library/tpl/planning/dyn_prog/
+    dp_lat_lon_planner.py:138-140 runtime_dp + dp_env.py:126,172
+    runtime_environment).
+
+    Drives the full closed-loop pipeline and times only the planning
+    stage of passes where the driver actually replanned (the DP families
+    replan at replan_time_step cadence; in-between passes are host
+    stitching and are not the latency story).  Returns per-replan stats
+    plus the stage split the drivers record themselves:
+      * env_host_prep_ms — host-side grid packing (dp_env.build_grids
+        with the device build deferred into the fused program)
+      * solve_ms — fused device env-build + DP solve dispatch including
+        the trajectory pull (runtime_dp)
+      * smooth_ms — LQR smoothing + Frenet->Cartesian post-processing
+        (dp_lat_lon only; the poly_lat_dp_lon driver has no separate
+        smoothing stage)
+    Whether this measures the host or the device path is decided by the
+    process's JAX platform (the driver dispatches to the default
+    device); the caller sets JAX_PLATFORMS accordingly.
+
+    The production param sets replan at 0.5 s cadence (both frameworks:
+    reference data/params/planning/default/state.json replan_time_step
+    = 0.5); the bench tightens the cadence to ``replan_time_step`` so
+    one scenario pass yields enough replan samples — per-replan latency
+    is unaffected, only the sampling rate."""
+    import gc
+    np.random.seed(0)
+    from tpl_tpu.simulation import SimStandalone
+
+    sim = SimStandalone(app_id="benchdp", scenario_path=scenario)
+    with sim.planning_app.sh_planners.lock():
+        sim.planning_app.sh_planners.active_planner = planner_name
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+        ss.settings.reload_if_finished = False
+
+    planner = sim.planning_app.planners[planner_name]
+    with planner.lock_shared():
+        planner.shared.params.planner.replan_time_step = replan_time_step
+    policy = planner.policy
+    dp_env = planner.dp_env
+
+    wall, env_ms, solve_ms, smooth_ms = [], [], [], []
+    warmed = 0
+    ticks_per_replan = max(1, int(round(replan_time_step / 0.01)))
+    max_ticks = 2 * ticks_per_replan * (warmup_replans + replans) + 500
+    for _ in range(max_ticks):
+        # the sim pipeline, opened up so ONLY the planning stage is
+        # timed (physics/perception/control stay out of the numbers)
+        sim_state = sim._step_physics(None)
+        vehicle = sim._step_perception(sim_state.t)
+        before = policy.last_replan_time
+        t0 = time.perf_counter()
+        trajectory = sim._step_planning()
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        sim._step_control(sim_state.t, vehicle, trajectory)
+        sim._apply_controls()
+        if sim_state.finished:
+            break                         # one scenario pass only
+
+        if policy.last_replan_time == before:
+            continue                      # not a replan pass
+        if warmed < warmup_replans:
+            warmed += 1
+            if warmed == warmup_replans:
+                # same GC discipline as the RSTP bench: startup objects
+                # out of generational scans, collector stays on
+                gc.collect()
+                gc.freeze()
+            continue
+        wall.append(dt_ms)
+        env_ms.append(dp_env.runtime_environment)
+        solve_ms.append(planner.runtime_dp)
+        smooth_ms.append(getattr(planner, "runtime_smooth", 0.0))
+        if len(wall) >= replans:
+            break
+    gc.unfreeze()
+
+    wall = np.array(wall)
+    return {
+        "planner": planner_name,
+        "scenario": scenario,
+        "replans": len(wall),
+        "mean_ms": round(float(np.mean(wall)), 2),
+        "p99_ms": round(float(np.percentile(wall, 99)), 2),
+        "split": {
+            "env_host_prep_ms": round(float(np.mean(env_ms)), 2),
+            "solve_ms": round(float(np.mean(solve_ms)), 2),
+            "smooth_ms": round(float(np.mean(smooth_ms)), 2),
+        },
+    }
+
+
+def bench_dp_replan_subprocess(planner_name, cpu, scenario="acc_2024/cv_3o",
+                               timeout_s=1200.0):
+    """DP replan bench in a fresh process (same rationale as the RSTP
+    sub-bench: the planner runs as its own process in deployment).  With
+    ``cpu=True`` the child is pinned to the host backend — the host leg
+    of the latency split; otherwise it uses the default device (the
+    tunneled TPU here), measuring the dispatch-inclusive device leg."""
+    env = dict(os.environ)
+    if cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--dp-replan-only",
+         "--planner", planner_name, "--scenario", scenario],
+        capture_output=True, timeout=timeout_s, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if "p99_ms" in d:
+                return d
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError("dp replan sub-bench failed:\n" + r.stderr[-2000:])
+
+
 def bench_rstp_replan(iters=300, warmup=40):
     """One real receding-horizon RSTP replan tick, measured through the
     actual planner: corridor construction on host, then the fused
@@ -266,6 +407,22 @@ def main():
         print(json.dumps({"p99_ms": p99_ms, "mean_ms": mean_ms}))
         return
 
+    if "--dp-replan-only" in sys.argv:
+        # the axon TPU plugin can still register over a plain
+        # JAX_PLATFORMS env request; re-assert the host-path choice
+        # explicitly (same workaround as tools/bench_scaling.py)
+        if os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+
+        def _arg(flag, default):
+            return (sys.argv[sys.argv.index(flag) + 1]
+                    if flag in sys.argv else default)
+        print(json.dumps(bench_dp_replan(
+            planner_name=_arg("--planner", "dp_lat_lon_planner"),
+            scenario=_arg("--scenario", "acc_2024/cv_3o"))))
+        return
+
     # If the default backend (the TPU tunnel) is dead or hung, fall back
     # to CPU so the bench still reports a result instead of hanging.
     tpu_unavailable = False
@@ -282,6 +439,32 @@ def main():
     except (RuntimeError, subprocess.TimeoutExpired):
         p99_ms, mean_ms = bench_rstp_replan()
 
+    # DP planner family: per-replan latency + stage split, host leg
+    # (deployment path in this environment) and device leg (dispatch-
+    # inclusive over the tunneled chip)
+    dp = {}
+    for planner, key in (("dp_lat_lon_planner", "dp_replan"),
+                         ("poly_lat_dp_lon_planner",
+                          "poly_lat_dp_lon_replan")):
+        try:
+            host = bench_dp_replan_subprocess(planner, cpu=True)
+            dp[f"{key}_mean_ms"] = host["mean_ms"]
+            dp[f"{key}_p99_ms"] = host["p99_ms"]
+            dp[f"{key}_split"] = host["split"]
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            print(f"WARNING: {planner} host sub-bench failed: {e}",
+                  file=sys.stderr)
+        if tpu_unavailable:
+            continue
+        try:
+            dev = bench_dp_replan_subprocess(planner, cpu=False)
+            dp[f"{key}_device_mean_ms"] = dev["mean_ms"]
+            dp[f"{key}_device_p99_ms"] = dev["p99_ms"]
+            dp[f"{key}_device_split"] = dev["split"]
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            print(f"WARNING: {planner} device sub-bench failed: {e}",
+                  file=sys.stderr)
+
     result = {
         "metric": "batched_rollouts_per_s_per_chip",
         "value": round(rollouts_per_s, 1),
@@ -293,7 +476,12 @@ def main():
         "rstp_replan_mean_ms": round(mean_ms, 2),
         "poly_sampling_tick_p99_ms": round(poly_p99_ms, 2),
         "poly_sampling_tick_mean_ms": round(poly_mean_ms, 2),
+        **dp,
         "replan_budget_ms": 20.0,
+        # DP families replan at the production param sets' 0.5 s cadence
+        # (reference default replan_time_step = 0.5), so a replan must
+        # fit in its own period
+        "dp_replan_budget_ms": 500.0,
         "loadavg_1m_at_start": round(loadavg_1m, 2),
         "platform": platform,
         "device": str(jax.devices()[0]),

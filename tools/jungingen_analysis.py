@@ -125,16 +125,10 @@ def _collision_kinematics(hist, uuid):
     return res
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", type=int, default=10)
-    ap.add_argument("--planner", default=None)
-    ap.add_argument("--out", default=None)
-    args = ap.parse_args()
-
+def run_planner(planner, seeds):
     results = []
-    for seed in range(args.seeds):
-        r = run_seed(seed, planner=args.planner)
+    for seed in range(seeds):
+        r = run_seed(seed, planner=planner)
         print(json.dumps(r), flush=True)
         results.append(r)
 
@@ -143,10 +137,10 @@ def main():
     unavoidable = [r["seed"] for r in fails
                    if r.get("from_behind")
                    and not r.get("avoidable_by_traffic", True)]
-    summary = dict(
+    return dict(
         scenario=SCENARIO,
-        planner=args.planner or "default",
-        seeds=args.seeds,
+        planner=planner or "default",
+        seeds=seeds,
         passed=passes,
         failed=[r["seed"] for r in fails],
         rear_end_unavoidable=unavoidable,
@@ -156,12 +150,30 @@ def main():
              "drops rear tracks (prediction_module.py:137-169, ported "
              "for parity), so no planner in either framework sees these",
         results=results)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=10)
+    ap.add_argument("--planner", action="append", default=None,
+                    help="planner to analyze; repeat the flag to cover "
+                         "several planner families in one artifact")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    summaries = [run_planner(p, args.seeds)
+                 for p in (args.planner or [None])]
+    # single-planner runs keep the round-3 artifact schema; multi-planner
+    # runs wrap the per-planner summaries in a "runs" list
+    out = summaries[0] if len(summaries) == 1 else dict(
+        scenario=SCENARIO, seeds=args.seeds,
+        planners=[s["planner"] for s in summaries], runs=summaries)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump(summary, f, indent=1)
+            json.dump(out, f, indent=1)
         print(f"wrote {args.out}")
     else:
-        print(json.dumps(summary))
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -120,6 +120,7 @@ class DpLatLonPlanner(BasePlanner):
         self._solver_spec = None
 
         self.runtime_dp = 0.0
+        self.runtime_smooth = 0.0
 
         with self.lock_shared():
             self.shared.params = Bundle()
@@ -214,8 +215,10 @@ class DpLatLonPlanner(BasePlanner):
             self.traj_dp = traj
             self.policy.mark(env.t)
 
+        start = time.perf_counter()
         self.update_traj_smooth(params)
         self.update_traj_cart(params)
+        self.runtime_smooth = (time.perf_counter() - start) * 1000.0
 
     def update_traj_smooth(self, params):
         """Resample at dt_smooth and LQR-smooth the s- and l-profiles with
@@ -425,6 +428,7 @@ class DpLatLonPlanner(BasePlanner):
             dbg = self.shared.debug.planner
             dbg.reinit_msg = self.policy.reinit_msg
             dbg.runtime_dp = self.runtime_dp
+            dbg.runtime_smooth = self.runtime_smooth
             if params.write_debug_data:
                 dbg.traj_dp = None if self.traj_dp is None \
                     else self.traj_dp.copy()

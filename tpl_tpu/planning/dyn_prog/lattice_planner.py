@@ -285,7 +285,8 @@ class LatticePlanner(BasePlanner):
                               jnp.asarray(self.lon_start, jnp.float32))
         self.traj_lon = np.asarray(traj, dtype=np.float64)
 
-        self.runtime_dp = time.perf_counter() - start
+        # milliseconds, matching the reference's runtime_dp semantics
+        self.runtime_dp = (time.perf_counter() - start) * 1000.0
 
     def update_trajectory(self, env, params):
         """(lattice_planner.py:308-339)"""

@@ -225,7 +225,9 @@ class PolyLatDpLonPlanner(BasePlanner):
                               jnp.asarray(self.dp_lon_start, jnp.float32))
         self.traj_lon = np.asarray(traj, dtype=np.float64)
 
-        self.runtime_dp = time.perf_counter() - start
+        # milliseconds, matching the reference's runtime_dp semantics
+        # (dp_lat_lon_planner.py:138-140) and the sibling drivers
+        self.runtime_dp = (time.perf_counter() - start) * 1000.0
         self.policy.mark(env.t)
 
     def update_trajectory(self, env, params):
