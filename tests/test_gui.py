@@ -67,6 +67,49 @@ def test_state_and_scene(sim_and_gui):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_birdseye_panel(sim_and_gui):
+    """Bird's-eye camera panel (reference slot:
+    gui/components/carla_birdseye_component.py): the synthetic top-down
+    source serves frames through the GUI; an external cam_info source
+    (the CARLA-bridge contract) takes over when installed; the CARLA
+    bridge itself gates cleanly on the missing client package."""
+    import math
+    import numpy as np
+    from tpl_tpu.gui.birdseye import BirdseyeView, CamInfo, view_extent
+
+    sim, gui = sim_and_gui
+    for _ in range(3):
+        sim.update()
+
+    status, png = _get(gui, "/birdseye.png")
+    assert status == 200
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # camera extent mapping == the reference's
+    # (carla_birdseye_component.py:33: tan(fov/2) * altitude * 2)
+    x0, x1, y0, y1 = view_extent((10.0, -4.0, 50.0), 90.0)
+    size = math.tan(math.radians(45.0)) * 50.0 * 2.0
+    assert x1 - x0 == pytest.approx(size)
+    assert (x0 + x1) / 2 == pytest.approx(10.0)
+    assert (y0 + y1) / 2 == pytest.approx(-4.0)
+
+    # an installed external source wins over the synthetic renderer
+    view = BirdseyeView()
+    ext = np.full((4, 4, 3), 7, np.uint8)
+    view.set_camera_source(
+        lambda: CamInfo(ext, (0.0, 0.0, 50.0), 90.0))
+    with sim.core.sh_state.lock():
+        sim_snap = util.snapshot(sim.core.sh_state.sim)
+    img, extent = view.frame(sim.env_app.env, sim_snap)
+    assert img is ext
+
+    # no CARLA client in this build: the bridge degrades with the
+    # documented fallback instead of crashing the GUI
+    view2 = BirdseyeView()
+    with pytest.raises(RuntimeError, match="falls back"):
+        view2.connect_carla()
+
+
 def test_select_and_param_edit(sim_and_gui):
     sim, gui = sim_and_gui
     sim.update()

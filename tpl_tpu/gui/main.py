@@ -42,7 +42,9 @@ _PAGE = """<!doctype html>
  select, button { margin: 0.2em 0; }
 </style></head>
 <body>
-<div><img id="scene" width="640" height="640"/></div>
+<div><img id="scene" width="640" height="640"/>
+ <div><button onclick="toggleBirdseye()">birdseye</button></div>
+ <img id="birdseye" width="640" height="640" style="display:none"/></div>
 <div>
  <h3>tpl-tpu live</h3>
  <table id="stats"></table>
@@ -90,12 +92,19 @@ async function tick() {
     if (document.activeElement !== sel) sel.value = active;
   }
   document.getElementById('scene').src = 'scene.png?' + Date.now();
+  const be = document.getElementById('birdseye');
+  if (be.style.display !== 'none')
+    be.src = 'birdseye.png?' + Date.now();
   const ev = await (await fetch('events.json')).json();
   document.getElementById('events').textContent = ev.slice(0, 10)
     .map(e => e.t.toFixed(1) + '  ' + e.msg).join('\\n');
 }
 function setSim(running) {
   fetch('sim', {method: 'POST', body: JSON.stringify({running})});
+}
+function toggleBirdseye() {
+  const be = document.getElementById('birdseye');
+  be.style.display = be.style.display === 'none' ? '' : 'none';
 }
 async function refreshPs() {
   const ps = await (await fetch('paramsets.json')).json();
@@ -460,6 +469,8 @@ class GuiServer:
                             gui.event_log.events()).encode())
                     elif path == "/scene.png":
                         self._send(200, gui.scene_png(), "image/png")
+                    elif path == "/birdseye.png":
+                        self._send(200, gui.birdseye_png(), "image/png")
                     else:
                         self._send(404, b"{}")
                 except Exception as e:
@@ -564,6 +575,17 @@ class GuiServer:
         buf = io.BytesIO()
         plt.imsave(buf, rgb, format="png")
         return buf.getvalue()
+
+    def birdseye_png(self):
+        """Bird's-eye camera panel (reference slot:
+        gui/components/carla_birdseye_component.py; see
+        tpl_tpu/gui/birdseye.py for the source contract)."""
+        from tpl_tpu.gui.birdseye import BirdseyeView
+        if not hasattr(self, "_birdseye"):
+            self._birdseye = BirdseyeView()
+        sim = self._snapshot_sim()
+        self.env.revalidate()
+        return self._birdseye.png(self.env, sim)
 
     # mutations ----------------------------------------------------
 
