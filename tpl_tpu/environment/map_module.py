@@ -16,6 +16,7 @@ load_map_store:822-851).
 import os
 import uuid
 import traceback
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -32,19 +33,27 @@ PATH_X, PATH_Y, PATH_PHI, PATH_S, PATH_K, PATH_V = range(6)
 
 
 # ---------------------------------------------------------------------------
-# map items (schema fixed by the objtoolbox store format)
+# map items (field sets fixed by the objtoolbox store format; containers
+# follow this framework's dataclass idiom, like environment/detections.py)
 
+def _uuid():
+    return uuid.uuid4().hex
+
+
+def _vec2():
+    return np.zeros(2)
+
+
+@dataclass
 class VelocityLimit:
-
-    def __init__(self):
-        self.__tag__ = "velocity_limit"
-        self.uuid = uuid.uuid4().hex
-        self.pos = np.array([0.0, 0.0])
-        self.limit = 0.0
-        self.length = 20.0
-        self.min_distance = 1.0
-        self.proj = util.Projection()
-        self.active = True
+    __tag__: str = "velocity_limit"
+    uuid: str = field(default_factory=_uuid)
+    pos: np.ndarray = field(default_factory=_vec2)
+    limit: float = 0.0
+    length: float = 20.0
+    min_distance: float = 1.0
+    proj: util.Projection = field(default_factory=util.Projection)
+    active: bool = True
 
     def __savestate__(self):
         s = self.__dict__.copy()
@@ -53,80 +62,76 @@ class VelocityLimit:
         return s
 
 
+@dataclass
 class TrafficLight(VelocityLimit):
-
     RED = 0
     YELLOW = 1
     GREEN = 2
     NONE = 3
 
-    def __init__(self):
-        super().__init__()
-        self.__tag__ = "traffic_light"
-        self.uuid = uuid.uuid4().hex
-        self.light_pos = np.array([0.0, 0.0])
-        self.detection_radius = 1.0
-        self.t = 0.0
-        self.state = TrafficLight.NONE
-        self.can_stop = False
+    __tag__: str = "traffic_light"
+    light_pos: np.ndarray = field(default_factory=_vec2)
+    detection_radius: float = 1.0
+    t: float = 0.0
+    state: int = NONE
+    can_stop: bool = False
 
 
+@dataclass
 class CrossWalk(VelocityLimit):
-
-    def __init__(self):
-        super().__init__()
-        self.__tag__ = "cross_walk"
-        self.uuid = uuid.uuid4().hex
-        self.corners = np.zeros((0,))
-        self.free_limit = 10.0
+    __tag__: str = "cross_walk"
+    corners: np.ndarray = field(default_factory=lambda: np.zeros((0,)))
+    free_limit: float = 10.0
 
 
+@dataclass
 class TurnIndPoint:
-
     OFF = 0
     RIGHT = -1
     LEFT = 1
     HAZARD = 2
 
-    def __init__(self):
-        self.__tag__ = "turn_ind_point"
-        self.uuid = uuid.uuid4().hex
-        self.pos = np.array([0.0, 0.0])
-        self.dir = TurnIndPoint.OFF
-        self.activation_radius = 2.0
+    __tag__: str = "turn_ind_point"
+    uuid: str = field(default_factory=_uuid)
+    pos: np.ndarray = field(default_factory=_vec2)
+    dir: int = OFF
+    activation_radius: float = 2.0
 
 
+@dataclass
 class MapSwitchPoint:
-
-    def __init__(self):
-        self.__tag__ = "map_switch_point"
-        self.uuid = uuid.uuid4().hex
-        self.pos = np.array([0.0, 0.0])
-        self.trigger_divisor = 1
-        self.triggers = 0
-        self.activation_radius = 5.0
-        self.in_radius = False
-        self.target_uuid = ""
+    __tag__: str = "map_switch_point"
+    uuid: str = field(default_factory=_uuid)
+    pos: np.ndarray = field(default_factory=_vec2)
+    trigger_divisor: int = 1
+    triggers: int = 0
+    activation_radius: float = 5.0
+    in_radius: bool = False
+    target_uuid: str = ""
 
 
+@dataclass
 class IntersectionPath:
+    __tag__: str = "intersection_path"
+    uuid: str = field(default_factory=_uuid)
+    pos: np.ndarray = None
+    stop_pos: np.ndarray = None
+    stop_proj: util.Projection = field(default_factory=util.Projection)
+    intersection_map_uuid: str = ""
+    map_segment: object = None
+    map_segment_step_size: float = 2.0
+    offset_path_begin: int = -20
+    offset_path_end: int = 20
+    stop: bool = True
+    d_decision: float = 30.0
+    gap_acceptance: float = 5.0
+    gap_rejection: float = 3.0
 
-    def __init__(self, pos=None):
-        self.__tag__ = "intersection_path"
-        self.uuid = uuid.uuid4().hex
-        pos = np.zeros(2) if pos is None else pos
-        self.pos = pos
-        self.stop_pos = pos + np.array([2.0, 2.0])
-        self.stop_proj = util.Projection()
-        self.intersection_map_uuid = ""
-        self.map_segment = None
-        self.map_segment_step_size = 2.0
-        self.offset_path_begin = -20
-        self.offset_path_end = 20
-        self.stop = True
-        self.d_decision = 30.0
-        self.gap_acceptance = 5.0
-        self.gap_rejection = 3.0
+    def __post_init__(self):
+        if self.pos is None:
+            self.pos = np.zeros(2)
+        if self.stop_pos is None:
+            self.stop_pos = self.pos + np.array([2.0, 2.0])
 
     def __savestate__(self):
         s = self.__dict__.copy()
@@ -148,32 +153,32 @@ _ITEM_LISTS = ("velocity_limits", "turn_ind_points", "map_switch_points",
                "intersection_paths")
 
 
+@dataclass
 class Map:
+    name: str = "unnamed_map"
+    __tag__: str = "map"
+    uuid: str = field(default_factory=_uuid)
 
-    def __init__(self, name="unnamed_map"):
-        self.__tag__ = "map"
-        self.name = name
-        self.uuid = uuid.uuid4().hex
+    velocity_limits: list = field(default_factory=list)
+    turn_ind_points: list = field(default_factory=list)
+    map_switch_points: list = field(default_factory=list)
+    intersection_paths: list = field(default_factory=list)
 
-        self.velocity_limits = []
-        self.turn_ind_points = []
-        self.map_switch_points = []
-        self.intersection_paths = []
+    # dims: x, y, d_left, d_right, speed_limit, altitude
+    control_points: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 6)))
+    smoothing: float = 0.0
+    step_size_discr: float = 0.5
+    closed_path: bool = False
 
-        # dims: x, y, d_left, d_right, speed_limit, altitude
-        self.control_points = np.zeros((0, 6))
-        self.smoothing = 0.0
-        self.step_size_discr = 0.5
-        self.closed_path = False
-
-        # computed by reinit_map
-        self.path = None          # discretized, PATH_* columns
-        self.boundary_left = None
-        self.boundary_right = None
-        self.d_left = None
-        self.d_right = None
-        self.altitude = None
-        self.route = None   # deprecated input format
+    # computed by reinit_map
+    path: np.ndarray = None       # discretized, PATH_* columns
+    boundary_left: np.ndarray = None
+    boundary_right: np.ndarray = None
+    d_left: np.ndarray = None
+    d_right: np.ndarray = None
+    altitude: np.ndarray = None
+    route: object = None          # deprecated input format
 
     def __str__(self):
         return self.name
@@ -186,19 +191,18 @@ class Map:
         return {k: self.__dict__[k] for k in keep if k in self.__dict__}
 
 
+@dataclass
 class LocalMap(Map):
-
-    def __init__(self):
-        super().__init__("local_map")
-        # sliding window configuration (reference map_module.py:218-240)
-        self.steps_ref = 400
-        self.step_size_ref = 0.5
-        self.idx_start_ref = 0
-        self.shift_idx_start_ref = 0
-        self.shift_vel_lim = 0
-        self.update_inters_paths = False
-        self.step_shift_idx = 2
-        self.position_vehicle = 0.0
+    name: str = "local_map"
+    # sliding window configuration (reference map_module.py:218-240)
+    steps_ref: int = 400
+    step_size_ref: float = 0.5
+    idx_start_ref: int = 0
+    shift_idx_start_ref: int = 0
+    shift_vel_lim: int = 0
+    update_inters_paths: bool = False
+    step_shift_idx: int = 2
+    position_vehicle: float = 0.0
 
 
 def adopt_items_from(dst_map, src_map):

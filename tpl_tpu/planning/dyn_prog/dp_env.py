@@ -56,39 +56,45 @@ class Params:
         self.cpp = DpEnvParams()
 
 
-def pack_ref_line(local_map, params):
-    """Pack the local map window into the 9-column device ref line.
+def smooth_ref_velocity(v, a_min, a_max, j_min, j_max, step_size):
+    """Jerk/acc-limited ramp over a ref-line velocity channel so the DP
+    velocity constraint has no steps; cells the map pins to (near) zero
+    stay hard zero so stop lines survive the smoothing."""
+    pinned_zero = v < 1.0
+    out = rampify_profile(None, None, v, a_min, a_max, j_min, j_max,
+                          1.0, step_size)[:, 0]
+    out[pinned_zero] = 0.0
+    return out
 
-    The velocity channel is smoothed with the jerk/acc-limited ramp so
-    the DP velocity constraint has no steps; cells the map pins to
-    (near) zero stay hard zero so stop lines survive the smoothing.
-    """
+
+def pack_ref_line(local_map, params):
+    """Pack the local map window into the 9-column device ref line."""
     n = len(local_map.path)
     rl = np.zeros((n, 9))
     rl[:, :6] = local_map.path
     rl[:, RL_D_LEFT] = local_map.d_left
     rl[:, RL_D_RIGHT] = local_map.d_right
-
-    pinned_zero = rl[:, RL_V] < 1.0
-    rl[:, RL_V] = rampify_profile(
-        None, None, rl[:, RL_V],
-        params.a_min_v_ref, params.a_max_v_ref,
-        params.j_min_v_ref, params.j_max_v_ref,
-        1.0, local_map.step_size_ref)[:, 0]
-    rl[pinned_zero, RL_V] = 0.0
+    rl[:, RL_V] = smooth_ref_velocity(
+        rl[:, RL_V], params.a_min_v_ref, params.a_max_v_ref,
+        params.j_min_v_ref, params.j_max_v_ref, local_map.step_size_ref)
     return rl
 
 
-def mark_conflict_zones(ref_line, intersection_paths):
+def mark_conflict_zones(ref_line, intersection_paths, skip_oob=False):
     """Flag the semantic channel over each intersection conflict zone.
 
-    Returns False when any crossing path's stop point fell outside the
-    window — the caller must then keep its previous lateral grid range
-    (parity with the reference's early-out, dp_env.py:108-112, which
-    skips the l_min/l_max refit in that case).
+    With ``skip_oob=False`` (the lat/lon DP env), returns False when any
+    crossing path's stop point fell outside the window — the caller must
+    then keep its previous lateral grid range (parity with the
+    reference's early-out, dp_env.py:108-112, which skips the
+    l_min/l_max refit in that case).  With ``skip_oob=True`` (the
+    graph/poly DP driver) out-of-window stop points are simply ignored
+    and the in-window zones are still marked.
     """
     for ip in intersection_paths:
         if not ip.stop_proj.in_bounds:
+            if skip_oob:
+                continue
             return False
         i0 = ip.stop_proj.end
         ref_line[i0:i0 + CONFLICT_ZONE_CELLS, RL_SEMANTIC] = 1.0

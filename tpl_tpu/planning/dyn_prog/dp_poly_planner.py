@@ -10,13 +10,17 @@ against this framework's DP environment.)
 
 import time
 import copy
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from tpl_tpu import util
 from tpl_tpu.util import Bundle
-from tpl_tpu.ops import rampify_profile, curv_to_vel_profile
+from tpl_tpu.ops import curv_to_vel_profile
 from tpl_tpu.ops.interp import lerp_xs, short_angle_dist
+from tpl_tpu.planning.dyn_prog.dp_env import (
+    mark_conflict_zones, smooth_ref_velocity,
+)
 from tpl_tpu.environment import EnvironmentState, map_module
 from tpl_tpu.planning.base_planner import BasePlanner
 from tpl_tpu.planning.trajectory import Trajectory
@@ -35,30 +39,30 @@ from tpl_tpu.ops.splines import PolyQuintic
 from tpl_tpu.util import snapshot
 
 
+@dataclass
 class Params:
+    update_always: bool = False
 
-    def __init__(self):
-        self.update_always = False
+    a_lat_max: float = 2.5
+    j_max_v_profile: float = 1.5
+    j_min_v_profile: float = -1.5
 
-        self.a_lat_max = 2.5
-        self.j_max_v_profile = 1.5
-        self.j_min_v_profile = -1.5
+    replan_time: float = 1.0
+    # floor for screen-forced early replans: the exact device DP judged
+    # the plan valid at the last replan, so the conservative host screen
+    # may only pull the next replan forward to this cadence, not to
+    # every 0.01 s pass
+    replan_time_min: float = 0.25
+    dead_time: float = 0.0
+    d_reinit_lat: float = 0.5
 
-        self.replan_time = 1.0
-        # floor for screen-forced early replans: the exact device DP
-        # judged the plan valid at the last replan, so the conservative
-        # host screen may only pull the next replan forward to this
-        # cadence, not to every 0.01 s pass
-        self.replan_time_min = 0.25
-        self.dead_time = 0.0
-        self.d_reinit_lat = 0.5
+    write_debug_data: bool = True
 
-        self.write_debug_data = True
-
-        self.dp_env = DpEnvParams()
-        self.dp_planner = DpPolyParams()
+    dp_env: DpEnvParams = field(default_factory=DpEnvParams)
+    dp_planner: DpPolyParams = field(default_factory=DpPolyParams)
 
 
+@dataclass
 class Behavior:
     """A behavior option is the same graph-DP solve under a different
     lateral-keeping weight; the driver runs the active one each replan
@@ -68,10 +72,9 @@ class Behavior:
 
     w_l = 10.0            # lateral-keeping weight this behavior plans with
 
-    def __init__(self):
-        self.last_replan_time = 0.0
-        self.traj_dp = None
-        self.params = None
+    last_replan_time: float = 0.0
+    traj_dp: np.ndarray = None
+    params: object = None
 
     def configure(self, params):
         self.params = snapshot(params)
@@ -84,9 +87,10 @@ class Behavior:
         return 0.0
 
     def cost(self):
-        if not self.valid():
-            return float("inf")
-        return 1000.0 - self.traj_dp[-1, PP_S] - self.cost_handicap()
+        # negative progress, shifted by the per-behavior handicap
+        return (np.inf if not self.valid()
+                else 1000.0 - self.traj_dp[-1, PP_S]
+                - self.cost_handicap())
 
 
 class FollowBehavior(Behavior):
@@ -221,20 +225,14 @@ class DpPolyPlanner(BasePlanner):
 
         self.ref_line[:, 5] = curv_to_vel_profile(
             self.ref_line[:, 4], self.ref_line[:, 5], params.a_lat_max)
-
-        idxs_zero = self.ref_line[:, 5] < 1.0
-        self.ref_line[:, 5] = rampify_profile(
-            None, None, self.ref_line[:, 5],
+        self.ref_line[:, 5] = smooth_ref_velocity(
+            self.ref_line[:, 5],
             params.dp_planner.dds_min, params.dp_planner.dds_max,
             params.j_min_v_profile, params.j_max_v_profile,
-            1.0, env.local_map.step_size_ref)[:, 0]
-        self.ref_line[idxs_zero, 5] = 0.0
-
-        for ip in env.local_map.intersection_paths:
-            if not ip.stop_proj.in_bounds:
-                continue
-            i0 = ip.stop_proj.end
-            self.ref_line[i0:i0 + 10, 8] = 1.0
+            env.local_map.step_size_ref)
+        mark_conflict_zones(self.ref_line,
+                            env.local_map.intersection_paths,
+                            skip_oob=True)
 
     def update_environment(self, env, params):
         start = time.perf_counter()
@@ -339,12 +337,11 @@ class DpPolyPlanner(BasePlanner):
         t_traj = env.t - self.last_shift_time
         self.last_shift_time = env.t
 
-        if not veh.automated:
-            self.reset_initial_state(veh, params)
-            return True
-
-        reset_required = pol.reset_changed(env)
-        if self.behavior.traj_dp is None or reset_required:
+        # cold starts: a human driving, a world jump, or nothing stored
+        # yet (reset_changed is side-effecting and must stay behind the
+        # automated check, mirroring when the reference samples it)
+        if (not veh.automated or pol.reset_changed(env)
+                or self.behavior.traj_dp is None):
             self.reset_initial_state(veh, params)
             return True
 
@@ -370,11 +367,9 @@ class DpPolyPlanner(BasePlanner):
         self.behavior.traj_dp = np.vstack(
             [self.init_state[None], pts[pts[:, PP_T] > 0.0]])
 
-        if env.t - self.behavior.last_replan_time >= params.replan_time:
-            return True
-        if params.update_always:
-            return True
-        return False
+        due = (env.t - self.behavior.last_replan_time
+               >= params.replan_time)
+        return due or params.update_always
 
     def write_debug_data(self, t, params, veh):
         with self.lock_shared():
