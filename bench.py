@@ -67,22 +67,37 @@ def _mpc_batched_setup(batch=2048, horizon=60, max_iterations=8):
     return lupdate, (xl, ul, laml, mus, bx0.T, params, cfg)
 
 
-def bench_batched_mpc(batch=2048, iters=10, horizon=60, max_iterations=8):
+def _slope_time(call, out_select, k_small, k_big, reps=2):
+    """Per-dispatch steady-state seconds via a pull-forced two-point
+    slope.  On this environment's tunneled TPU, ``block_until_ready``
+    can resolve BEFORE the program executes (lazy execution: work is
+    only forced when data is demanded), so block-based timing measures
+    the enqueue rate, not the chip — the round-3 IDM figure recorded
+    that way was ~4 orders of magnitude off.  Enqueue K dispatches,
+    force completion by pulling a result to host, and take the slope
+    between two K values: the slope cancels the fixed pull/round-trip
+    cost."""
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = call()
+        np.asarray(out_select(out))
+        return time.perf_counter() - t0
+    run(1)                                   # warm: compile + first exec
+    slopes = []
+    for _ in range(reps):
+        slopes.append((run(k_big) - run(k_small)) / (k_big - k_small))
+    return float(np.median(slopes))
+
+
+def bench_batched_mpc(batch=2048, horizon=60, max_iterations=8):
     """Full AL-iLQR tracking-MPC solves/s via the batch-in-lanes engine
     (tpl_tpu/optim/batched.py: batch in the TPU lane dimension — ~28%
     faster than vmap over the per-instance engine on v5e)."""
     lupdate, args = _mpc_batched_setup(batch, horizon, max_iterations)
-
-    # warm up / compile
-    out = lupdate(*args)
-    jax.block_until_ready(out[0])
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = lupdate(*args)
-    jax.block_until_ready(out[0])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    per_dispatch = _slope_time(lambda: lupdate(*args), lambda o: o[3],
+                               k_small=2, k_big=6)
+    return batch / per_dispatch
 
 
 def _idm_setup(candidates=16384):
@@ -148,20 +163,21 @@ def bench_idm_rollouts(candidates=16384, iters=10):
     16k candidates per dispatch: the kernel evaluates them in 1024-wide
     chunks (idm_kernel.py run()), so the 100-step sequential scan latency
     amortizes across chunks and throughput scales ~linearly with the
-    candidate count up to HBM limits."""
+    candidate count up to HBM limits.
+
+    Inputs are device-resident across dispatches (round 4): earlier
+    rounds re-uploaded the identical static scene arrays on every call,
+    which over this environment's tunneled chip made the recorded
+    figure an enqueue/transfer rate (~21M rollouts/s in BENCH_r03), not
+    the chip's compute rate.  A production sweep keeps its scene on
+    device and varies only the candidate parameters, so the
+    device-resident measurement is the metric the baseline asks for;
+    tools/roofline.py accounts for what the chip does per rollout."""
     kernel, kargs = _idm_setup(candidates)
-    C = candidates
-
-    def call():
-        return kernel(*kargs)
-
-    jax.block_until_ready(call()[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = call()
-    jax.block_until_ready(out[0])
-    dt = time.perf_counter() - t0
-    return C * iters / dt
+    per_dispatch = _slope_time(lambda: kernel(*kargs),
+                               lambda o: o[2]["cost"],
+                               k_small=1, k_big=4)
+    return candidates / per_dispatch
 
 
 def bench_poly_sampling(iters=200, warmup=20):

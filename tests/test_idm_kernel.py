@@ -66,6 +66,63 @@ def _scene(n_obj=4, n_pred=8, n_hull=8):
     return rl, objs, pp, init_ref, init_con
 
 
+def test_lanes_evaluate_matches_vmap_oracle():
+    """The lanes-form evaluate (candidates in the minor axis, shared
+    per-time-slice object data, rectangle-analytic SAT) must reproduce
+    the per-candidate vmap evaluate exactly — including collision
+    verdicts, first-collision times, and the interaction costs."""
+    rl, objs, pp, init_ref, init_con = _scene()
+    # park one object on the ego path so collisions actually occur
+    objs["pred_xy"][0, :, 0] = 8.0
+    objs["pred_xy"][0, :, 1] = 0.0
+    objs["pred_v"][0] = 0.0
+    box = objs["hull_preds"][0][0] - objs["hull_preds"][0][0].mean(0)
+    objs["hull_preds"][0] = objs["pred_xy"][0][:, None, :] + box[None]
+    spec = dict(steps_t=20, n_ref=rl.shape[0], n_obj=4, n_pred=8,
+                n_hull=8)
+    kernel = idm_kernel.make_idm_kernel(spec)
+    ppd = {k: jnp.asarray(v, jnp.float32)
+           for k, v in pp.dynamic_dict().items()}
+    objs_dev = {k: jnp.asarray(v, jnp.float32 if v.dtype.kind == "f"
+                               else None) for k, v in objs.items()}
+
+    C = 64
+    l_trgs = jnp.asarray(np.linspace(-3, 3, C).astype(np.float32))
+    # fabricated trajectories that drive straight THROUGH the scene (a
+    # real rollout brakes for the parked car and never collides):
+    # candidates fan out laterally, so some hit object 0 and some miss
+    T_, rng = 20, np.random.default_rng(3)
+    cons_np = np.zeros((C, T_, 9), np.float32)
+    ts_grid = np.arange(T_, dtype=np.float32) * 0.1
+    for c in range(C):
+        y = np.float32(-4.0 + 8.0 * c / (C - 1))
+        cons_np[c, :, 0] = ts_grid                      # V_T (shared)
+        cons_np[c, :, 1] = ts_grid * 8.0                # V_X
+        cons_np[c, :, 2] = y                            # V_Y
+        cons_np[c, :, 3] = rng.normal(scale=0.1)        # V_H
+        cons_np[c, :, 5] = 8.0                          # V_V
+        cons_np[c, :, 6] = rng.normal(scale=0.5)        # V_A
+        cons_np[c, :, 7] = ts_grid * 8.0 + 50.0 * 0.5   # V_S (on rl)
+        cons_np[c, :, 8] = y                            # V_L
+    refs_np = np.zeros((C, T_, 10), np.float32)
+    refs_np[:, :, 8] = 4.0 - np.abs(cons_np[:, :, 2])   # R_DR
+    refs_np[:, :, 9] = 4.0 + cons_np[:, :, 2]           # R_DL
+    refs = jnp.asarray(refs_np)
+    cons = jnp.asarray(cons_np)
+
+    args = (refs, cons, l_trgs, objs_dev, jnp.asarray(rl, jnp.float32),
+            jnp.float32(0.5), ppd, jnp.float32(0.0))
+    got = kernel.evaluate(*args)
+    want = kernel.evaluate_ref(*args)
+    assert bool(np.any(np.asarray(want["invalid"]))) or \
+        np.any(np.asarray(want["cost_collision"]) > 0), \
+        "scene produced no collisions; the screen paths were not covered"
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_chunked_candidates_match_vmap():
     rl, objs, pp, init_ref, init_con = _scene()
     spec = dict(steps_t=20, n_ref=rl.shape[0], n_obj=4, n_pred=8, n_hull=8)

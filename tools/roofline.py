@@ -69,18 +69,32 @@ def _cost(compiled):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def _time_steady(call, out_select=lambda o: o, warmup=3, k=20, reps=3):
-    """Median over ``reps`` of (K async dispatches + one final block)."""
-    for _ in range(warmup):
-        jax.block_until_ready(out_select(call()))
-    times = []
-    for _ in range(reps):
+def _time_steady(call, out_select=lambda o: o, k_small=3, k_big=10,
+                 reps=2):
+    """Per-dispatch steady-state time via a pull-forced two-point slope.
+
+    On this environment's tunneled TPU, ``jax.block_until_ready`` can
+    resolve BEFORE the program executes (lazy execution: work is only
+    forced when data is demanded), so block-based timings measure the
+    enqueue rate, not the chip (measured r4: the IDM kernel "took"
+    0.1 ms with block-only timing and 14 s when actually forced).  The
+    only trustworthy protocol is: enqueue K dispatches, force
+    completion by pulling a result to host, and take the slope between
+    two K values — the slope cancels the fixed pull/round-trip cost and
+    any constant laziness overhead."""
+    def run(k):
         t0 = time.perf_counter()
         for _ in range(k):
             out = call()
-        jax.block_until_ready(out_select(out))
-        times.append((time.perf_counter() - t0) / k)
-    return float(np.median(times))
+        np.asarray(out_select(out))           # force execution + pull
+        return time.perf_counter() - t0
+    run(1)                                    # warm: compile + first exec
+    slopes = []
+    for _ in range(reps):
+        t_small = run(k_small)
+        t_big = run(k_big)
+        slopes.append((t_big - t_small) / (k_big - k_small))
+    return float(np.median(slopes))
 
 
 def kernel_mpc(batch=2048, horizon=60):
@@ -89,7 +103,11 @@ def kernel_mpc(batch=2048, horizon=60):
     lupdate, args = bench._mpc_batched_setup(batch=batch, horizon=horizon)
     compiled = lupdate.lower(*args).compile()
     flops, bytes_ = _cost(compiled)
-    wall = _time_steady(lambda: lupdate(*args), lambda o: o[0], k=10)
+    # time the AOT-compiled executable itself: one compile per kernel
+    # (a second jit compile while the first executable runs has been
+    # observed to fault the tunneled TPU worker, lat_lon_kernel.py:756)
+    wall = _time_steady(lambda: compiled(*args), lambda o: o[3],
+                        k_small=2, k_big=6)
     return dict(name="mpc_batched_al_ilqr",
                 work_items=batch, work_unit="solves",
                 note="sequential lax.scan over horizon x AL iterations; "
@@ -104,7 +122,8 @@ def kernel_idm(candidates=16384):
     kernel, args = bench._idm_setup(candidates)
     compiled = kernel.lower(*args).compile()
     flops, bytes_ = _cost(compiled)
-    wall = _time_steady(lambda: kernel(*args), lambda o: o[0], k=10)
+    wall = _time_steady(lambda: compiled(*args), lambda o: o[0],
+                        k_small=1, k_big=3)
     return dict(name="idm_rollouts",
                 work_items=candidates, work_unit="rollouts",
                 note="100-step closed-loop scan; leader lookup gathers + "
@@ -112,45 +131,22 @@ def kernel_idm(candidates=16384):
                 flops=flops, bytes=bytes_, wall_s=wall)
 
 
-def kernel_latlon_solve():
-    """Lat/lon DP backward+forward solve
-    (tpl_tpu/planning/dyn_prog/lat_lon_kernel.py)."""
-    from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
-    pp = llk.LatLonParams()
-    spec = dict(t_steps=pp.t_steps, s_steps=pp.s_steps,
-                ds_steps=pp.ds_steps, l_steps=pp.l_steps)
-    solve, _reeval = llk.make_latlon_solver(spec)
-    rng = np.random.default_rng(0)
-    dist = jnp.asarray(rng.uniform(
-        0, 200, (pp.t_steps, pp.s_steps, pp.l_steps, 2)).astype(np.float32))
-    rl = np.zeros((401, 8), np.float32)
-    rl[:, 0] = np.arange(401) * 0.5
-    rl[:, 4] = 12.0
-    rl[:, 5] = rl[:, 6] = 4.0
-    x0 = np.zeros(12, np.float32)
-    x0[2] = 8.0
-    args = (dist, jnp.asarray(rl), jnp.float32(0.5), pp.packed(),
-            jnp.asarray(x0))
-    compiled = solve.lower(*args).compile()
-    flops, bytes_ = _cost(compiled)
-    wall = _time_steady(lambda: solve(*args), lambda o: o[1], k=20)
-    return dict(name="latlon_dp_solve",
-                work_items=1, work_unit="solves",
-                note="(T,S,DS,L) value grid, 7x7 action samples per "
-                     "node via structured shifted-row gathers; "
-                     "gather-dominated, zero matmuls",
-                flops=flops, bytes=bytes_, wall_s=wall)
+def _synth_ref_line(n=401, step=0.5):
+    rl = np.zeros((n, 8), np.float32)
+    rl[:, 0] = np.arange(n) * step        # straight road along x
+    rl[:, 4] = 12.0                       # v_max channel
+    rl[:, 5] = rl[:, 6] = 4.0             # corridor half-widths
+    return rl
 
 
-def kernel_env_build(quads=256):
-    """DP environment grid build: quad rasterization + distance scans
-    (tpl_tpu/planning/dyn_prog/dp_environment.py)."""
+def _env_build_compiled(quads=256):
+    """Compile the DP env grid build on synthetic (but driver-shaped)
+    inputs; returns (compiled, args)."""
     from tpl_tpu.planning.dyn_prog import dp_environment as dpe
     from tpl_tpu.planning.dyn_prog.lat_lon_kernel import LatLonParams
     pp = LatLonParams()
     rng = np.random.default_rng(0)
-    rl = np.zeros((401, 8), np.float32)
-    rl[:, 0] = np.arange(401) * 0.5
+    rl = _synth_ref_line()
     centers = rng.uniform(0, 200, (quads, 1, 2)).astype(np.float32)
     box = np.array([[-2, -1], [2, -1], [2, 1], [-2, 1]], np.float32)
     q = jnp.asarray(centers + box[None])
@@ -161,14 +157,52 @@ def kernel_env_build(quads=256):
             jnp.float32(1.7), jnp.float32(0.0), jnp.float32(1.0),
             jnp.float32(-5.0), jnp.float32(0.5))
     kw = dict(t_steps=pp.t_steps, s_steps=pp.s_steps, l_steps=pp.l_steps)
-    compiled = dpe._build_grids.lower(*args, **kw).compile()
+    return dpe._build_grids.lower(*args, **kw).compile(), args
+
+
+def kernel_env_build(quads=256):
+    """DP environment grid build: quad rasterization + distance scans
+    (tpl_tpu/planning/dyn_prog/dp_environment.py)."""
+    compiled, args = _env_build_compiled(quads)
     flops, bytes_ = _cost(compiled)
-    wall = _time_steady(lambda: dpe._build_grids(*args, **kw),
-                        lambda o: o[1], k=20)
+    wall = _time_steady(lambda: compiled(*args), lambda o: o[1],
+                        k_small=5, k_big=15)
     return dict(name="dp_env_grid_build",
                 work_items=quads, work_unit="quads",
                 note="point-in-dilated-quad rasterization into (T,S,L) + "
                      "forward/backward distance scans",
+                flops=flops, bytes=bytes_, wall_s=wall)
+
+
+def kernel_latlon_solve():
+    """Lat/lon DP backward+forward solve
+    (tpl_tpu/planning/dyn_prog/lat_lon_kernel.py), fed with a distance
+    grid actually produced by the env build — random garbage distance
+    values have been observed to fault the tunneled TPU worker."""
+    from tpl_tpu.planning.dyn_prog import lat_lon_kernel as llk
+    pp = llk.LatLonParams()
+    spec = dict(t_steps=pp.t_steps, s_steps=pp.s_steps,
+                ds_steps=pp.ds_steps, l_steps=pp.l_steps)
+    solve, _reeval = llk.make_latlon_solver(spec)
+
+    build, bargs = _env_build_compiled()
+    _occ, dist = build(*bargs)
+    jax.block_until_ready(dist)
+
+    rl = _synth_ref_line()
+    x0 = np.zeros(12, np.float32)
+    x0[2] = 8.0
+    args = (dist, jnp.asarray(rl), jnp.float32(0.5), pp.packed(),
+            jnp.asarray(x0))
+    compiled = solve.lower(*args).compile()
+    flops, bytes_ = _cost(compiled)
+    wall = _time_steady(lambda: compiled(*args), lambda o: o[1],
+                        k_small=5, k_big=15)
+    return dict(name="latlon_dp_solve",
+                work_items=1, work_unit="solves",
+                note="(T,S,DS,L) value grid, 7x7 action samples per "
+                     "node via structured shifted-row gathers; "
+                     "gather-dominated, zero matmuls",
                 flops=flops, bytes=bytes_, wall_s=wall)
 
 
@@ -263,19 +297,56 @@ def render_md(data):
     return "\n".join(lines)
 
 
+KERNELS = {
+    "idm": kernel_idm,
+    "mpc": kernel_mpc,
+    "latlon_solve": kernel_latlon_solve,
+    "env_build": kernel_env_build,
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--md", default=None)
+    ap.add_argument("--kernel", default=None, choices=sorted(KERNELS),
+                    help="measure ONE kernel and print its raw JSON "
+                         "(used by the orchestrating parent)")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
     key = "tpu" if platform == "tpu" else "cpu"
     peaks = PEAKS[key]
 
-    kernels = [kernel_idm(), kernel_mpc(), kernel_latlon_solve(),
-               kernel_env_build()]
-    kernels = [derive(k, peaks) for k in kernels]
+    if args.kernel:
+        print(json.dumps(KERNELS[args.kernel]()))
+        return
+
+    # one subprocess per kernel: a faulted TPU worker (observed when
+    # several large programs compile/execute in one process over the
+    # tunnel, cf. lat_lon_kernel.py:756) then costs one kernel's row,
+    # not the whole report
+    import subprocess
+    kernels = []
+    for name in KERNELS:
+        print(f"# {name} ...", file=sys.stderr, flush=True)
+        r = None
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--kernel", name],
+                capture_output=True, text=True, timeout=1500)
+            line = [ln for ln in r.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            kernels.append(derive(json.loads(line), peaks))
+        except (subprocess.TimeoutExpired, IndexError,
+                json.JSONDecodeError) as e:
+            print(f"# {name} FAILED: {e!r}; stderr:\n"
+                  + (r.stderr[-1500:] if r is not None else ""),
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"# {name} done: {kernels[-1]['wall_ms']} ms",
+              file=sys.stderr, flush=True)
 
     data = dict(metric="roofline", platform=key,
                 device=str(jax.devices()[0]), peaks=peaks,

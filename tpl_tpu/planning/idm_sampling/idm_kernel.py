@@ -96,33 +96,46 @@ R_T, R_X, R_Y, R_H, R_V, R_A, R_S, R_L, R_DR, R_DL = range(10)
 V_T, V_X, V_Y, V_H, V_ST, V_V, V_A, V_S, V_L = range(9)
 
 
-def _interp_by_t(ts, values, t):
-    """Linear interp of (P, ...) values by times ts (P,)."""
-    i = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1,
-                 0, ts.shape[0] - 2)
+def _bracket_by_t(ts, t):
+    """Index and weight of the segment containing t on a sorted (P,)
+    time grid.  Pure comparison/reduction form: ``searchsorted`` lowers
+    to a binary-search loop of dynamic slices on TPU (slow and
+    unvectorizable under vmap), while a sum of comparisons over P=16 is
+    one fused VPU pass."""
+    n = ts.shape[0]
+    i = jnp.clip(jnp.sum((ts <= t).astype(jnp.int32)) - 1, 0, n - 2)
     a = jnp.clip((t - ts[i]) / jnp.maximum(ts[i + 1] - ts[i], 1e-9),
                  0.0, 1.0)
-    va = values[i]
-    vb = values[i + 1]
-    if values.ndim > 1:
-        a = a.reshape((1,) * (values.ndim - 1)).squeeze() if False else a
-        for _ in range(values.ndim - 1):
-            a = a[..., None]
-    return va * (1.0 - a) + vb * a
+    return i, a
+
+
+def _two_hot(n, i, a, dtype):
+    """Weight vector with (1-a) at i and a at i+1, built from
+    comparisons: the ``zeros().at[i].set()`` form lowers to a scatter,
+    which TPUs execute serially."""
+    ar = jnp.arange(n)
+    return (jnp.where(ar == i, 1.0 - a, 0.0)
+            + jnp.where(ar == i + 1, a, 0.0)).astype(dtype)
+
+
+def _interp_by_t(ts, values, t):
+    """Linear interp of (P, ...) values by times ts (P,): the time axis
+    is contracted with a 2-hot weight vector (small matmul on device)
+    instead of gathered."""
+    i, a = _bracket_by_t(ts, t)
+    w = _two_hot(ts.shape[0], i, a, values.dtype)
+    return jnp.tensordot(w, values, axes=([0], [0]))
 
 
 def _interp_hulls_by_t(ts, hulls, t):
     """Linear interp of (P, K, 2) hull sweeps by times ts (P,).
 
-    Same math as :func:`_interp_by_t`, but the time axis is contracted
-    with a 2-hot weight vector so XLA lowers it as a small matmul.  The
-    gather form materializes a (cand, T, O, P, K) fusion output under the
-    candidate/time vmaps, which overflows HBM beyond ~1k candidates."""
-    n = ts.shape[0]
-    i = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, n - 2)
-    a = jnp.clip((t - ts[i]) / jnp.maximum(ts[i + 1] - ts[i], 1e-9),
-                 0.0, 1.0)
-    w = jnp.zeros((n,), hulls.dtype).at[i].set(1.0 - a).at[i + 1].add(a)
+    Same math as :func:`_interp_by_t`; the 2-hot contraction avoids
+    both the scatter (serial on TPU) and the gather form, which
+    materializes a (cand, T, O, P, K) fusion output under the
+    candidate/time vmaps and overflows HBM beyond ~1k candidates."""
+    i, a = _bracket_by_t(ts, t)
+    w = _two_hot(ts.shape[0], i, a, hulls.dtype)
     return jnp.einsum("p,pkc->kc", w, hulls)
 
 
@@ -444,11 +457,7 @@ def make_idm_kernel(spec):
                     jnp.abs(proj["distance"])
                     <= pp["radius_veh"] + radius)
                 # prediction at the matched station
-                i = jnp.clip(jnp.searchsorted(dists, proj["arc_len"],
-                                              side="right") - 1, 0, P - 2)
-                a = jnp.clip((proj["arc_len"] - dists[i])
-                             / jnp.maximum(dists[i + 1] - dists[i], 1e-9),
-                             0.0, 1.0)
+                i, a = _bracket_by_t(dists, proj["arc_len"])
                 tt = ts_o[i] * (1 - a) + ts_o[i + 1] * a
                 hull_p = _interp_hulls_by_t(ts_o, hulls, tt)
                 hull_v = vehicle_hull(state, pp)
@@ -502,6 +511,269 @@ def make_idm_kernel(spec):
                     cost_collision=cost_collision,
                     invalid=invalid)
 
+    # ---- lanes-form evaluate ------------------------------------------
+    # Same semantics as `evaluate` (validated against it in
+    # tests/test_idm_kernel.py), restructured for the TPU memory system:
+    #
+    #  * everything shared across candidates is computed ONCE — the
+    #    rollout time grid is identical for every candidate (the scan
+    #    adds pp["dt"] per step to the same init state), so the object
+    #    hulls/states sampled on it, their edge normals and their
+    #    self-projections are candidate-independent;
+    #  * the candidate axis C lives in the MINOR dimension of every
+    #    per-candidate tensor, filling the 128-wide vector lanes (the
+    #    vmap form builds (C, T, O, K, 2) tensors whose minor dims of 2
+    #    and 16 waste up to 64x of every HBM line on layout padding);
+    #  * the per-time-step screens run under one lax.scan, so their
+    #    intermediates are (O, K, C)-sized and stay on-chip instead of
+    #    materializing (C, T, O, K, ...) in HBM;
+    #  * the ego hull is a rectangle, so its side of every SAT test
+    #    collapses to an ego-frame interval test and an analytic
+    #    center±extent projection onto the obstacle's edge normals —
+    #    exactly equivalent to the generic polygon test (same trick as
+    #    the poly-sampling screen, poly_kernel.py).
+    #
+    # Measured (v5e, 1024-candidate chunk, forced execution): the vmap
+    # evaluate costs ~437 ms; this form replaces it.
+
+    S_SEG = P - 1
+
+    def _rect_geom(pp):
+        db, df = pp["dist_back_veh"], pp["dist_front_veh"]
+        hw = pp["width_veh"] / 2.0
+        return (jnp.minimum(db, df), jnp.maximum(db, df), hw,
+                (db + df) / 2.0, jnp.abs(df - db) / 2.0)
+
+    def _rect_sat_hit(cx, cy, ch, px, py, n_x, n_y, edge_ok,
+                      hmin, hmax, pp):
+        """Ego rect at (cx, cy, ch) [(C,) or broadcastable] vs convex
+        hulls with vertices (px, py) [(O, K, C)], edge normals
+        (n_x, n_y) [(O, K, C)], per-edge validity edge_ok and hull
+        self-projections hmin/hmax [(O, K, C)] -> hit (O, C).
+
+        Mirrors polygons_intersect(ego_hull, hull): the ego-edge axes
+        become the ego-frame interval test; the hull-edge axes use the
+        analytic rectangle projection."""
+        x_lo, x_hi, hw, mid_x, half_x = _rect_geom(pp)
+        ux, uy = jnp.cos(ch), jnp.sin(ch)
+
+        # hull vertices in the ego frame
+        rx, ry = px - cx, py - cy
+        hx = rx * ux + ry * uy                      # (O, K, C)
+        hy = -rx * uy + ry * ux
+        gap_rect = ((jnp.max(hx, axis=1) < x_lo)
+                    | (jnp.min(hx, axis=1) > x_hi)
+                    | (jnp.max(hy, axis=1) < -hw)
+                    | (jnp.min(hy, axis=1) > hw))   # (O, C)
+
+        # hull edge normals: rectangle projection is center ± extent
+        cn = cx * n_x + cy * n_y                    # (O, K, C)
+        un = ux * n_x + uy * n_y                    # u·n (ego frame n)
+        vn = -uy * n_x + ux * n_y
+        ecen = cn + mid_x * un
+        eext = half_x * jnp.abs(un) + hw * jnp.abs(vn)
+        gap_edge = (((ecen + eext < hmin) | (hmax < ecen - eext))
+                    & edge_ok)
+        return ~(gap_rect | jnp.any(gap_edge, axis=1))
+
+    def _hull_edges(px, py):
+        """Edge normals + self-projections of convex hulls given vertex
+        coordinate arrays with the vertex axis at position 1
+        [(O, K, C) or (O, K)]. Returns (n_x, n_y, edge_ok, hmin, hmax)
+        where hmin/hmax are min/max over vertices of p·n per edge."""
+        ex = jnp.roll(px, -1, axis=1) - px
+        ey = jnp.roll(py, -1, axis=1) - py
+        edge_ok = ex * ex + ey * ey > 1e-18
+        n_x, n_y = -ey, ex
+        # q[o, j, k, ...] = p_k · n_j
+        q = (n_x[:, :, None] * px[:, None, :]
+             + n_y[:, :, None] * py[:, None, :])
+        return n_x, n_y, edge_ok, jnp.min(q, axis=2), jnp.max(q, axis=2)
+
+    def evaluate_lanes(ref_states, states, l_trgs, objs, ref_line,
+                       ref_step, pp, l_trg_global):
+        """Lanes-form evaluate over all candidates at once.
+
+        ref_states: (C, T, 10); states: (C, T, 9); l_trgs: (C,).
+        Returns the same dict of (C,) arrays as `evaluate`."""
+        C = states.shape[0]
+        ts = states[0, :, V_T]                       # shared time grid
+
+        # -- shared per-time-slice object data (no C axis) -----------
+        hulls_T = jax.vmap(lambda t: obj_hull_at(objs, t))(ts)  # (T,O,K,2)
+        pos_T, _, v_T = jax.vmap(lambda t: obj_state_at(objs, t))(ts)
+        cn_x, cn_y, cedge_ok, chmin, chmax = _hull_edges(
+            jnp.moveaxis(hulls_T[..., 0], 0, -1),    # (O, K, T)
+            jnp.moveaxis(hulls_T[..., 1], 0, -1))
+
+        # shared object-path segment data for the interaction screen
+        path = objs["pred_xy"]                       # (O, P, 2)
+        seg_a = path[:, :-1]                         # (O, S, 2)
+        seg_v = path[:, 1:] - path[:, :-1]
+        vv = jnp.maximum(jnp.sum(seg_v * seg_v, axis=-1), 1e-12)
+        seg_len = jnp.sqrt(vv)
+        arc0 = jnp.concatenate(
+            [jnp.zeros((O, 1), f32), jnp.cumsum(seg_len, axis=1)],
+            axis=1)[:, :-1]                          # (O, S)
+        seg_ang = jnp.arctan2(seg_v[..., 1], seg_v[..., 0])
+
+        # per-candidate state channels, time-major: (T, C)
+        st = jnp.moveaxis(states, 0, -1)             # (T, 9, C)
+        sx, sy, sh = st[:, V_X], st[:, V_Y], st[:, V_H]
+        l_off = pp["length_veh"] / 2.0 - pp["dist_back_veh"]
+
+        near_rad = (pp["radius_veh"] + objs["radius_hull"][None, :]
+                    + v_T)                            # (T, O)
+
+        def screens_at(_, inp):
+            (cx, cy, ch, hx_t, hy_t, nx_t, ny_t, eok_t, hmin_t, hmax_t,
+             pox_t, poy_t, nrad_t) = inp
+            # collision screen: ego rect (anchored at the state position
+            # like vehicle_hull) vs shared hulls; the l_off-shifted
+            # center feeds only the `near` gate, as in coll_at
+            hit = _rect_sat_hit(cx, cy, ch,
+                                hx_t[..., None], hy_t[..., None],
+                                nx_t[..., None], ny_t[..., None],
+                                eok_t[..., None],
+                                hmin_t[..., None], hmax_t[..., None], pp)
+            ccx = cx + l_off * jnp.cos(ch)
+            ccy = cy + l_off * jnp.sin(ch)
+            dist_o = jnp.sqrt((pox_t[:, None] - ccx) ** 2
+                              + (poy_t[:, None] - ccy) ** 2)  # (O, C)
+            near = (dist_o <= nrad_t[:, None]) & objs["valid"][:, None]
+            coll_t = jnp.any(hit & near, axis=0)      # (C,)
+
+            # interaction screen: project ego pos on each object path
+            pv_q = ((cx - seg_a[..., None, 0]) * seg_v[..., None, 0]
+                    + (cy - seg_a[..., None, 1]) * seg_v[..., None, 1]) \
+                / vv[..., None]                       # (O, S, C)
+            qc = jnp.clip(pv_q, 0.0, 1.0)
+            fx = seg_a[..., None, 0] + seg_v[..., None, 0] * qc
+            fy = seg_a[..., None, 1] + seg_v[..., None, 1] * qc
+            d2 = (cx - fx) ** 2 + (cy - fy) ** 2
+            best = jnp.argmin(d2, axis=1)             # (O, C)
+            sel = jax.nn.one_hot(best, S_SEG, axis=1, dtype=f32)
+            pick = lambda a: jnp.sum(a * sel, axis=1)  # (O,S,C)->(O,C)
+            pick_sh = lambda tab: jnp.sum(tab[..., None] * sel, axis=1)
+            q_b = pick(pv_q)
+            fx_b, fy_b = pick(fx), pick(fy)
+            dist = jnp.sqrt(pick(d2))
+            in_b = ~(((best == 0) & (q_b < 0.0))
+                     | ((best == S_SEG - 1) & (q_b > 1.0)))
+            arc = pick_sh(arc0) + jnp.sqrt(
+                (fx_b - pick_sh(seg_a[..., 0])) ** 2
+                + (fy_b - pick_sh(seg_a[..., 1])) ** 2)
+            ang = pick_sh(seg_ang)
+            # sign of the lateral offset (project_polyline semantics)
+            ox, oy = fx_b - cx, fy_b - cy
+            on = jnp.sqrt(ox ** 2 + oy ** 2)
+            inv = 1.0 / jnp.maximum(on, 1e-12)
+            sdx, sdy = jnp.cos(ang), jnp.sin(ang)
+            sign_neg = (sdx * (-oy * inv) + sdy * (ox * inv)) <= 0.0
+            dist = jnp.where(sign_neg, -dist, dist)
+            dist = jnp.where(on < 1e-9, 0.0, dist)
+
+            ok = in_b & objs["valid"][:, None] & (
+                jnp.abs(dist) <= pp["radius_veh"]
+                + objs["radius_hull"][:, None])
+
+            # prediction time at the matched station
+            dists_o = objs["pred_dists"]              # (O, P)
+            i_st = jnp.clip(jnp.sum(
+                (dists_o[..., None] <= arc[:, None]).astype(jnp.int32),
+                axis=1) - 1, 0, P - 2)                # (O, C)
+            oh_i = jax.nn.one_hot(i_st, P, axis=1, dtype=f32)
+            oh_j = jax.nn.one_hot(i_st + 1, P, axis=1, dtype=f32)
+            pk = lambda tab: (jnp.sum(tab[..., None] * oh_i, axis=1),
+                              jnp.sum(tab[..., None] * oh_j, axis=1))
+            d_i, d_j = pk(dists_o)
+            a_st = jnp.clip((arc - d_i)
+                            / jnp.maximum(d_j - d_i, 1e-9), 0.0, 1.0)
+            t_i, t_j = pk(objs["pred_t"])
+            tt = t_i * (1.0 - a_st) + t_j * a_st      # (O, C)
+
+            # hull interpolated at tt (per candidate): 2-hot over P
+            i_t = jnp.clip(jnp.sum(
+                (objs["pred_t"][..., None] <= tt[:, None]).astype(
+                    jnp.int32), axis=1) - 1, 0, P - 2)
+            oha = jax.nn.one_hot(i_t, P, axis=1, dtype=f32)
+            ohb = jax.nn.one_hot(i_t + 1, P, axis=1, dtype=f32)
+            ta = jnp.sum(objs["pred_t"][..., None] * oha, axis=1)
+            tb = jnp.sum(objs["pred_t"][..., None] * ohb, axis=1)
+            aa = jnp.clip((tt - ta) / jnp.maximum(tb - ta, 1e-9),
+                          0.0, 1.0)
+            w = oha * (1.0 - aa[:, None]) + ohb * aa[:, None]  # (O,P,C)
+            hpx = jnp.einsum("opc,opk->okc", w,
+                             objs["hull_preds"][..., 0])
+            hpy = jnp.einsum("opc,opk->okc", w,
+                             objs["hull_preds"][..., 1])
+            inx, iny, ieok, ihmin, ihmax = _hull_edges(hpx, hpy)
+            ihit = _rect_sat_hit(cx, cy, ch, hpx, hpy, inx, iny, ieok,
+                                 ihmin, ihmax, pp)
+            oncoming = jnp.cos(ch - ang) < 0.0
+            inter_t = jnp.sum(jnp.where(
+                ok & ihit & oncoming,
+                1.0 / (1.0 + jnp.abs(dist)), 0.0), axis=0)  # (C,)
+            return None, (coll_t, inter_t)
+
+        _, (colls, inter) = jax.lax.scan(
+            screens_at, None,
+            (sx, sy, sh,
+             hulls_T[..., 0], hulls_T[..., 1],
+             jnp.moveaxis(cn_x, -1, 0), jnp.moveaxis(cn_y, -1, 0),
+             jnp.moveaxis(cedge_ok, -1, 0),
+             jnp.moveaxis(chmin, -1, 0), jnp.moveaxis(chmax, -1, 0),
+             pos_T[..., 0], pos_T[..., 1], near_rad))
+        # colls, inter: (T, C)
+
+        any_coll = jnp.any(colls, axis=0)             # (C,)
+        first_coll = jnp.argmax(colls, axis=0)
+        t_coll = ts[first_coll]
+        invalid = any_coll & (t_coll < 3.0)
+        cost_collision = jnp.where(any_coll, T * pp["dt"] - t_coll, 0.0)
+
+        before = jnp.arange(T)[:, None] < jnp.where(any_coll,
+                                                    first_coll, T)
+        cost_interaction = jnp.sum(jnp.where(before, inter, 0.0), axis=0)
+
+        # distance cost
+        seg = jnp.sqrt(jnp.diff(sx, axis=0) ** 2
+                       + jnp.diff(sy, axis=0) ** 2)
+        cost_distance = 1000.0 - jnp.sum(seg, axis=0)
+
+        # comfort costs
+        cost = pp["w_l"] * (l_trg_global - l_trgs) ** 2
+        min_dl = jnp.min(ref_states[:, :-1, R_DL], axis=1)
+        min_dr = jnp.min(ref_states[:, :-1, R_DR], axis=1)
+        cost += jnp.where(min_dl < pp["d_comf_lat"],
+                          pp["w_lat_dist"] * (pp["d_comf_lat"] - min_dl)
+                          / pp["d_comf_lat"], 0.0)
+        cost += jnp.where(min_dr < pp["d_comf_lat"],
+                          pp["w_lat_dist"] * (pp["d_comf_lat"] - min_dr)
+                          / pp["d_comf_lat"], 0.0)
+        cost += jnp.sum(pp["w_a"]
+                        * jnp.minimum(0.0, states[:, :, V_A]) ** 2,
+                        axis=1)
+
+        # road-edge penalty
+        rp = ref_lerp(ref_line, ref_step, states[:, :, V_S])  # (C,T,·)
+        margin = pp["width_veh"] / 2.0 * np.sqrt(2.0)
+        edge = (jnp.sum(states[:, :, V_L] > rp[..., 5] - margin, axis=1)
+                + jnp.sum(states[:, :, V_L] < -rp[..., 6] + margin,
+                          axis=1)).astype(f32)
+
+        # on collision the reference skips distance/comfort/edge costs
+        cost_collision = cost_collision + jnp.where(any_coll, 0.0, edge)
+        cost = jnp.where(any_coll, 0.0, cost)
+        cost_distance = jnp.where(any_coll, 0.0, cost_distance)
+
+        return dict(cost=cost, cost_distance=cost_distance,
+                    cost_interaction=cost_interaction,
+                    cost_collision=cost_collision,
+                    invalid=invalid)
+
+    S_SEG = P - 1
+
     @jax.jit
     def run(init_ref, init_con, l_trgs, d_stops, dt_replan, ref_line,
             ref_step, objs, pp, l_trg_global):
@@ -524,21 +796,52 @@ def make_idm_kernel(spec):
         pp = {k: _f32(v) for k, v in pp.items()}
         linestrip = ref_line[:, :2]
 
-        def one(args):
-            l_trg, d_stop = args
-            refs, cons = rollout(init_ref, init_con, l_trg, d_stop,
-                                 dt_replan, ref_line, ref_step, linestrip,
-                                 objs, pp)
-            costs = evaluate(refs, cons, l_trg, objs, ref_line, ref_step,
-                             pp, l_trg_global)
+        def chunk(args):
+            l_t, d_s = args
+            refs, cons = jax.vmap(lambda lt, ds: rollout(
+                init_ref, init_con, lt, ds, dt_replan, ref_line,
+                ref_step, linestrip, objs, pp))(l_t, d_s)
+            costs = evaluate_lanes(refs, cons, l_t, objs, ref_line,
+                                   ref_step, pp, l_trg_global)
             return refs, cons, costs
 
-        # chunked vmap: the evaluate stage's interaction term peaks at
-        # ~5 MB of HBM per candidate (XLA materializes the hull-interp
-        # broadcast before reducing), so an unchunked vmap OOMs beyond
-        # ~1.5k candidates; 1024-candidate chunks keep full throughput
-        if l_trgs.shape[0] <= 1024:
-            return jax.vmap(lambda lt, ds: one((lt, ds)))(l_trgs, d_stops)
-        return jax.lax.map(one, (l_trgs, d_stops), batch_size=1024)
+        # chunked dispatch: rollouts vmap per 1024-candidate chunk (the
+        # scan state stays small), then the lanes-form evaluate screens
+        # the whole chunk at once
+        C = l_trgs.shape[0]
+        if C <= 1024:
+            return chunk((l_trgs, d_stops))
+        n_pad = (-C) % 1024
+        lt2 = jnp.concatenate(
+            [l_trgs, jnp.broadcast_to(l_trgs[-1:], (n_pad,))])
+        ds2 = jnp.concatenate(
+            [d_stops, jnp.broadcast_to(d_stops[-1:], (n_pad,))])
+        refs, cons, costs = jax.lax.map(
+            chunk, (lt2.reshape(-1, 1024), ds2.reshape(-1, 1024)))
+        unsplit = lambda a: a.reshape((-1,) + a.shape[2:])[:C]
+        return (unsplit(refs), unsplit(cons),
+                jax.tree.map(unsplit, costs))
 
+    @jax.jit
+    def run_rollout(init_ref, init_con, l_trgs, d_stops, dt_replan,
+                    ref_line, ref_step, objs, pp):
+        """Rollout stage alone (profiling/bisection surface, used by
+        tools/roofline.py)."""
+        linestrip = ref_line[:, :2]
+        return jax.vmap(lambda lt, ds: rollout(
+            init_ref, init_con, lt, ds, dt_replan, ref_line, ref_step,
+            linestrip, objs, pp))(l_trgs, d_stops)
+
+    @jax.jit
+    def run_evaluate_ref(ref_states, states, l_trgs, objs, ref_line,
+                         ref_step, pp, l_trg_global):
+        """Per-candidate vmap evaluate: the reference oracle the
+        lanes form is validated against (tests/test_idm_kernel.py)."""
+        return jax.vmap(lambda rs, cs, lt: evaluate(
+            rs, cs, lt, objs, ref_line, ref_step, pp, l_trg_global))(
+            ref_states, states, l_trgs)
+
+    run.rollout = run_rollout
+    run.evaluate_ref = run_evaluate_ref
+    run.evaluate = jax.jit(evaluate_lanes)
     return run
