@@ -123,6 +123,36 @@ def test_lanes_evaluate_matches_vmap_oracle():
             rtol=1e-5, atol=1e-5, err_msg=k)
 
 
+def test_lanes_rollout_matches_vmap_oracle():
+    """The lanes-form rollout (candidate axis minor, shared per-step
+    object sampling, table-based stop lookup) must reproduce the
+    per-candidate vmap rollout across a scene with live leaders, stop
+    cells, and off-road excursions."""
+    rl, objs, pp, init_ref, init_con = _scene()
+    rl[150:, 4] = 0.0          # a stop cell ahead (zero-v leg)
+    spec = dict(steps_t=30, n_ref=rl.shape[0], n_obj=4, n_pred=8,
+                n_hull=8)
+    kernel = idm_kernel.make_idm_kernel(spec)
+    ppd = {k: jnp.asarray(v, jnp.float32)
+           for k, v in pp.dynamic_dict().items()}
+    objs_dev = {k: jnp.asarray(v, jnp.float32 if v.dtype.kind == "f"
+                               else None) for k, v in objs.items()}
+
+    C = 48
+    l_trgs = jnp.asarray(np.linspace(-5, 5, C).astype(np.float32))
+    d_stops = jnp.asarray(
+        np.where(np.arange(C) % 3 == 0, 30.0, 1e6).astype(np.float32))
+    args = (jnp.asarray(init_ref), jnp.asarray(init_con), l_trgs,
+            d_stops, jnp.float32(0.1), jnp.asarray(rl),
+            jnp.float32(0.5), objs_dev, ppd)
+    refs_l, cons_l = kernel.rollout(*args)
+    refs_r, cons_r = kernel.rollout_ref(*args)
+    np.testing.assert_allclose(np.asarray(refs_l), np.asarray(refs_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cons_l), np.asarray(cons_r),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_chunked_candidates_match_vmap():
     rl, objs, pp, init_ref, init_con = _scene()
     spec = dict(steps_t=20, n_ref=rl.shape[0], n_obj=4, n_pred=8, n_hull=8)

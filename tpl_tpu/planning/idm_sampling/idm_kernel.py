@@ -407,6 +407,341 @@ def make_idm_kernel(spec):
         da = jnp.mod(a1 - a0, m)
         return jnp.mod(2 * da, m) - da
 
+    # ---- lanes-form rollout -------------------------------------------
+    # Same semantics as `rollout` under vmap (validated against it in
+    # tests/test_idm_kernel.py), restructured like evaluate_lanes: the
+    # candidate axis C is the MINOR dimension of every tensor, the
+    # object hulls/states at each (shared) step time are computed once
+    # for all candidates, and the ref-line lookups gather from 1-D
+    # channel tables with C-minor index arrays.
+
+    def _ref_ch_lerp(ref_line, ref_step, s, ch):
+        """Lerp one ref-line channel at stations s (..., C), gather
+        form (used where the index count is small — per-element gathers
+        execute serially on TPU at ~3 ns/element, measured)."""
+        q = s / ref_step
+        i0 = jnp.clip(jnp.floor(q), 0, NR - 1).astype(jnp.int32)
+        i1 = jnp.clip(jnp.ceil(q), 0, NR - 1).astype(jnp.int32)
+        a = jnp.clip(q - i0, 0.0, 1.0)
+        tab = ref_line[:, ch]
+        return tab[i0] * (1.0 - a) + tab[i1] * a
+
+    def _ref_lerp_2hot(ref_line, ref_step, s, chs):
+        """Lerp several ref-line channels at stations s (C,) via a
+        two-hot contraction: builds the (NR, C) lerp-weight matrix from
+        comparisons and contracts it with the channel table on the
+        MXU/VPU — ~10x faster than the serial per-element gather inside
+        the rollout scan (measured v5e).  Returns (len(chs), C)."""
+        q = s / ref_step
+        i0 = jnp.clip(jnp.floor(q), 0.0, NR - 1.0)
+        i1 = jnp.clip(jnp.ceil(q), 0.0, NR - 1.0)
+        a = jnp.clip(q - i0, 0.0, 1.0)
+        ar = jnp.arange(NR, dtype=f32)[:, None]
+        w = (jnp.where(ar == i0, 1.0 - a, 0.0)
+             + jnp.where(ar == i1, a, 0.0))
+        return jnp.einsum("nc,nk->kc", w, ref_line[:, chs])
+
+    def rollout_lanes(init_ref, init_con, l_trg, d_stop0, dt_replan,
+                      ref_line, ref_step, linestrip, objs, pp):
+        """All-candidate closed-loop rollout; l_trg, d_stop0: (C,).
+        Returns ref_states (C, T, 10), states (C, T, 9)."""
+        C = l_trg.shape[0]
+        bcast = lambda v: jnp.broadcast_to(v[:, None], v.shape + (C,))
+        ref0 = bcast(init_ref)                        # (10, C)
+        con0 = bcast(init_con)                        # (9, C)
+
+        # shared per-step object data on the common time grid; built by
+        # the same f32 accumulation the per-step carry performs, so the
+        # interp brackets match the vmap rollout bit-for-bit
+        _, step_ts = jax.lax.scan(
+            lambda c, _: (c + pp["dt"], c), init_ref[R_T],
+            None, length=T - 1)
+        hulls_S = jax.vmap(lambda t: obj_hull_at(objs, t))(step_ts)
+        pos_S, head_S, v_S = jax.vmap(
+            lambda t: obj_state_at(objs, t))(step_ts)  # (T-1,O,·)
+        hp_S = jax.vmap(lambda t: jax.vmap(
+            lambda ts, hps: _interp_by_t(ts, hps, t))(
+            objs["pred_t"], objs["hull_projs"]))(step_ts)  # (T-1,O,4)
+
+        # next zero-v stop cell: position of the first pinned-zero ref
+        # cell at-or-after each grid index (suffix scan, shared); kept
+        # as a finite value + inf-mask pair so the one-hot contraction
+        # below never multiplies 0 x inf
+        ss_grid = jnp.arange(NR, dtype=f32) * ref_step
+        zero_pos = jnp.where(ref_line[:, 4] == 0.0, ss_grid, jnp.inf)
+        next_zero = jax.lax.associative_scan(
+            jnp.minimum, zero_pos, reverse=True)       # (NR,)
+        nz_inf = jnp.isinf(next_zero).astype(f32)
+        nz_fin = jnp.where(jnp.isinf(next_zero), 0.0, next_zero)
+
+        seg_a = linestrip[:-1]                         # (S, 2)
+        seg_v = linestrip[1:] - linestrip[:-1]
+        seg_vv = jnp.maximum(jnp.sum(seg_v * seg_v, axis=-1), 1e-12)
+        seg_len = jnp.sqrt(seg_vv)
+        seg_arc0 = jnp.concatenate(
+            [jnp.zeros(1, f32), jnp.cumsum(seg_len)])[:-1]
+        seg_ang = jnp.arctan2(seg_v[:, 1], seg_v[:, 0])
+        n_seg = seg_a.shape[0]
+
+        valid_o = objs["valid"] & objs["on_local_map"]  # (O,)
+
+        def get_leader_lanes(x, y, h, s, l_trg, hx, hy, pos_o, head_o,
+                             v_o, hp):
+            """(get_leader, lanes form). x..s: (C,); hx/hy: (O,K);
+            pos_o: (O,2); hp: (O,4). Returns four (C,) arrays."""
+            dx, dy = jnp.cos(h), jnp.sin(h)            # (C,)
+            p0x = x - dx * pp["dist_back_veh"]
+            p0y = y - dy * pp["dist_back_veh"]
+            ray_len = 200.0 + pp["dist_back_veh"]
+
+            rx = hx[..., None] - p0x                   # (O, K, C)
+            ry = hy[..., None] - p0y
+            arc = rx * dx + ry * dy
+            lat = dx * ry - dy * rx
+            in_bounds = (arc > 0.0) & (arc < ray_len)
+
+            vmask = valid_o[:, None, None]             # (O, 1, 1)
+            on_left = jnp.any((lat > 0.0) & vmask, axis=1)   # (O, C)
+            on_right = jnp.any((lat < 0.0) & vmask, axis=1)
+            spans = on_left & on_right                 # (O, C)
+
+            close_lat = jnp.abs(lat) < pp["width_veh"] / 2.0 \
+                + pp["d_safe_lat"]
+            lead_mask = in_bounds & vmask & (spans[:, None] | close_lat)
+            dists = jnp.where(lead_mask, arc - pp["dist_back_veh"],
+                              jnp.inf)                 # (O, K, C)
+
+            v_cand = v_o[:, None] * jnp.cos(head_o[:, None] - h)
+            flat = dists.reshape(O * K, C)
+            idx = jnp.argmin(flat, axis=0)             # (C,)
+            d_lead = jnp.min(flat, axis=0)
+            oh_o = jax.nn.one_hot(idx // K, O, axis=0, dtype=f32)
+            v_at = jnp.sum(oh_o * v_cand, axis=0)
+            v_lead = jnp.where(jnp.isfinite(d_lead), v_at, 0.0)
+
+            front_mask = in_bounds & vmask & (arc < pp["dist_front_veh"])
+            nspan = ~spans[:, None]
+            d_right = jnp.min(jnp.where(front_mask & (lat < 0.0) & nspan,
+                                        jnp.abs(lat), 100.0), axis=(0, 1))
+            d_left = jnp.min(jnp.where(front_mask & (lat > 0.0) & nspan,
+                                       jnp.abs(lat), 100.0), axis=(0, 1))
+            any_span_front = jnp.any(front_mask & spans[:, None],
+                                     axis=(0, 1))
+            d_right = jnp.where(any_span_front, 0.0, d_right)
+            d_left = jnp.where(any_span_front, 0.0, d_left)
+
+            on_lane = ((l_trg > hp[:, 2:3] - pp["width_veh"] / 2.0
+                        - pp["d_safe_lat"])
+                       & (l_trg < hp[:, 3:4] + pp["width_veh"] / 2.0
+                          + pp["d_safe_lat"])
+                       & (s < hp[:, 1:2])
+                       & objs["valid"][:, None])       # (O, C)
+            lane_d = jnp.where(on_lane, hp[:, 0:1] - s, jnp.inf)
+            li = jnp.argmin(lane_d, axis=0)            # (C,)
+            lane_best = jnp.min(lane_d, axis=0)
+            oh_l = jax.nn.one_hot(li, O, axis=0, dtype=f32)
+            v_li = jnp.sum(oh_l * v_o[:, None], axis=0)
+            better = lane_best < d_lead
+            v_lead = jnp.where(better, v_li, v_lead)
+            d_lead = jnp.where(better, lane_best, d_lead)
+
+            d_lead = jnp.where(jnp.isfinite(d_lead), d_lead, 1e6)
+            d_lead = jnp.where(v_lead < 0.0, d_lead - 10.0, d_lead)
+            v_lead = jnp.where(v_lead < 0.0, v_lead * 2.0, v_lead)
+            return d_lead, v_lead, d_right, d_left
+
+        def project_linestrip_lanes(px, py):
+            """project_polyline onto the shared ref linestrip, lanes
+            form: px, py (C,) -> (arc_len, distance) each (C,)."""
+            pvx = px - seg_a[:, None, 0]               # (S, C)
+            pvy = py - seg_a[:, None, 1]
+            q = (pvx * seg_v[:, None, 0] + pvy * seg_v[:, None, 1]) \
+                / seg_vv[:, None]
+            qc = jnp.clip(q, 0.0, 1.0)
+            fx = seg_a[:, None, 0] + seg_v[:, None, 0] * qc
+            fy = seg_a[:, None, 1] + seg_v[:, None, 1] * qc
+            d2 = (px - fx) ** 2 + (py - fy) ** 2
+            best = jnp.argmin(d2, axis=0)              # (C,)
+            sel = jax.nn.one_hot(best, n_seg, axis=0, dtype=f32)
+            pick = lambda a: jnp.sum(a * sel, axis=0)
+            pick_sh = lambda tab: jnp.sum(tab[:, None] * sel, axis=0)
+            fx_b, fy_b = pick(fx), pick(fy)
+            dist = jnp.sqrt(pick(d2))
+            arc = pick_sh(seg_arc0) + jnp.sqrt(
+                (fx_b - pick_sh(seg_a[:, 0])) ** 2
+                + (fy_b - pick_sh(seg_a[:, 1])) ** 2)
+            ang = pick_sh(seg_ang)
+            ox, oy = fx_b - px, fy_b - py
+            on = jnp.sqrt(ox ** 2 + oy ** 2)
+            inv = 1.0 / jnp.maximum(on, 1e-12)
+            sign_neg = (jnp.cos(ang) * (-oy * inv)
+                        + jnp.sin(ang) * (ox * inv)) <= 0.0
+            dist = jnp.where(sign_neg, -dist, dist)
+            dist = jnp.where(on < 1e-9, 0.0, dist)
+            return arc, dist
+
+        def step(carry, inp):
+            ref, con = carry                           # (10,C), (9,C)
+            idx_t, hx, hy, pos_o, head_o, v_o, hp = inp
+
+            # --- reference update ---
+            v_trg_dist = ref[R_V] * pp["t_vel_lookahead"]
+            v_trg = jnp.inf
+            for k in range(25):
+                sk = ref[R_S] + f32(k) * (v_trg_dist / 25)
+                v_trg = jnp.minimum(
+                    v_trg, _ref_lerp_2hot(ref_line, ref_step, sk,
+                                          (4,))[0])
+            v_trg = jnp.maximum(0.001, v_trg)
+
+            d_lead, v_lead, d_right, d_left = get_leader_lanes(
+                ref[R_X], ref[R_Y], ref[R_H], ref[R_S], l_trg,
+                hx, hy, pos_o, head_o, v_o, hp)
+
+            # next_stop_point, lanes form: the zero-v leg reads the
+            # precomputed suffix-min table; the off-road leg keeps the
+            # full (NR, C) mask (it depends on the candidate's l)
+            s, l = ref[R_S], ref[R_L]
+            i0 = jnp.clip(jnp.ceil(s / ref_step), 0.0, NR - 1.0)
+            oh0 = (jnp.arange(NR, dtype=f32)[:, None] == i0).astype(f32)
+            d_zero = jnp.where(
+                jnp.einsum("nc,n->c", oh0, nz_inf) > 0.0, jnp.inf,
+                jnp.einsum("nc,n->c", oh0, nz_fin) - s)
+            ahead = ss_grid[:, None] >= s
+            off_road = (l < -ref_line[:, 6:7]) | (l > ref_line[:, 5:6])
+            d_off = jnp.min(jnp.where(ahead & off_road,
+                                      ss_grid[:, None] - s
+                                      - pp["d_safe_min"], jnp.inf),
+                            axis=0)
+            d_stop = jnp.minimum(d_zero, d_off)
+            d_stop = jnp.minimum(d_stop0 - s, d_stop)
+
+            t_headway = pp["t_headway_desired"] * (
+                1.0 - jnp.tanh((ref[R_L] - l_trg) * 0.5) ** 2)
+            t_headway = jnp.maximum(t_headway, 0.5)
+
+            s_net_stop = d_stop - pp["dist_front_veh"] + 1.0
+            s_star_stop = (1.0 + ref[R_V] * t_headway
+                           + ref[R_V] ** 2
+                           / (2 * jnp.sqrt(pp["a_max"]
+                                           * pp["a_break_comf"])))
+            inter_term = s_star_stop / s_net_stop
+
+            s_net = d_lead - pp["dist_front_veh"]
+            s_star = (pp["d_safe_min"] + ref[R_V] * t_headway
+                      + ref[R_V] * (ref[R_V] - v_lead)
+                      / (2 * jnp.sqrt(pp["a_max"]
+                                      * pp["a_break_comf"])))
+            inter_term = jnp.where(d_lead < d_stop,
+                                   jnp.maximum(s_star / s_net,
+                                               inter_term), inter_term)
+
+            v_rel = ref[R_V] / v_trg
+            exp = jnp.where(v_rel < 1.0, pp["idm_exp_acc"],
+                            pp["idm_exp_dcc"])
+            a_idm = pp["a_max"] * (1.0 - v_rel ** exp - inter_term ** 2)
+
+            rp = _ref_lerp_2hot(ref_line, ref_step, ref[R_S],
+                                (2, 3))                # heading, k
+            l_change = jnp.clip(l_trg - ref[R_L], -1.5, 1.5)
+            nl = ref[R_L] + l_change * pp["dt"]
+            s_rate = (ref[R_V] * jnp.cos(ref[R_H] - rp[0])
+                      / (1.0 - ref[R_L] * rp[1]))
+            ns = ref[R_S] + s_rate * pp["dt"]
+            nrp = _ref_lerp_2hot(ref_line, ref_step, ns,
+                                 (0, 1, 2))            # x, y, heading
+
+            heading_rel = _short_angle(ref[R_H], rp[0])
+            heading_rel = heading_rel + s_rate * rp[1] * pp["dt"]
+            nh = nrp[2] + heading_rel
+
+            dt_control = jnp.where(idx_t == 0, dt_replan, pp["dt"])
+
+            lane_changing = (jnp.abs(ref[R_L] - l_trg) > 0.5) \
+                & (ref[R_V] > 1.0) & (ref[R_V] < 5.0)
+            a_idm = jnp.where(lane_changing, jnp.minimum(0.0, a_idm),
+                              a_idm)
+
+            j = (a_idm - ref[R_A]) / jnp.maximum(dt_control, 1e-6)
+            j_standstill = jnp.clip(j, pp["j_min"],
+                                    -ref[R_A]
+                                    / jnp.maximum(dt_control, 1e-6))
+            j = jnp.where((ref[R_V] == 0.0) & (ref[R_A] < 0.0),
+                          j_standstill,
+                          jnp.clip(j, pp["j_min"], pp["j_max"]))
+            a_new = jnp.clip(ref[R_A] + j * dt_control,
+                             pp["a_min"], pp["a_max"])
+
+            ref_out = ref.at[R_A].set(a_new)
+            ref_out = ref_out.at[R_DR].set(d_right)
+            ref_out = ref_out.at[R_DL].set(d_left)
+
+            nref = jnp.stack([
+                ref[R_T] + pp["dt"],
+                nrp[0] - nl * jnp.sin(nrp[2]),
+                nrp[1] + nl * jnp.cos(nrp[2]),
+                nh,
+                jnp.maximum(0.0, ref[R_V] + a_new * pp["dt"]),
+                a_new,
+                ns,
+                nl,
+                jnp.zeros_like(nl),
+                jnp.zeros_like(nl)])
+
+            # --- following controller (Stanley + PD) ---
+            rs = ref_out
+            k_con = _ref_lerp_2hot(ref_line, ref_step, con[V_S],
+                                   (3,))[0]
+            k_adj = jnp.where(jnp.abs(k_con) > 1e-4,
+                              1.0 / (1.0 / k_con + con[V_L]), k_con)
+            steer_ref = jnp.arctan(k_adj * pp["wheel_base"])
+            angle_diff = _short_angle(con[V_H], rs[R_H])
+            lat_diff = rs[R_L] - con[V_L]
+            steer_angle = steer_ref + angle_diff + jnp.arctan(
+                pp["k_stanley"] * lat_diff
+                / (pp["v_offset_stanley"] + con[V_V]))
+            steer_angle = jnp.clip(steer_angle, -pp["steer_angle_max"],
+                                   pp["steer_angle_max"])
+            steer_rate = jnp.clip(
+                (steer_angle - con[V_ST])
+                / jnp.maximum(dt_control, 1e-6),
+                -pp["steer_rate_max"], pp["steer_rate_max"])
+            do_steer = (con[V_V] > 1.0) | (con[V_A] > 0.5) \
+                | (jnp.abs(lat_diff) > 0.1)
+            new_steer = jnp.where(do_steer,
+                                  con[V_ST] + steer_rate * dt_control,
+                                  con[V_ST])
+
+            err_s = rs[R_S] - con[V_S]
+            err_v = rs[R_V] - con[V_V]
+            a_con = rs[R_A] + err_s * pp["k_p_s"] + err_v * pp["k_p_v"]
+
+            con_out = con.at[V_ST].set(new_steer)
+            con_out = con_out.at[V_A].set(a_con)
+
+            nv = jnp.maximum(0.0, con[V_V] + pp["dt"] * a_con)
+            nheading = con[V_H] + pp["dt"] * nv * jnp.tan(new_steer) \
+                / pp["wheel_base"]
+            nx = con[V_X] + pp["dt"] * nv * jnp.cos(nheading)
+            ny = con[V_Y] + pp["dt"] * nv * jnp.sin(nheading)
+            arc, lat = project_linestrip_lanes(nx, ny)
+            ncon = jnp.stack([
+                con[V_T] + pp["dt"], nx, ny, nheading, new_steer,
+                nv, a_con, arc, lat])
+
+            return (nref, ncon), (ref_out, con_out)
+
+        (last_ref, last_con), (refs, cons) = jax.lax.scan(
+            step, (ref0, con0),
+            (jnp.arange(T - 1),
+             hulls_S[..., 0], hulls_S[..., 1],
+             pos_S, head_S, v_S, hp_S))
+        ref_states = jnp.concatenate([refs, last_ref[None]], axis=0)
+        states = jnp.concatenate([cons, last_con[None]], axis=0)
+        # (T, 10, C) -> (C, T, 10) for the evaluate/driver API
+        return (jnp.transpose(ref_states, (2, 0, 1)),
+                jnp.transpose(states, (2, 0, 1)))
+
     def vehicle_hull(state, pp):
         base = jnp.stack([
             jnp.stack([pp["dist_back_veh"], -pp["width_veh"] / 2]),
@@ -755,11 +1090,14 @@ def make_idm_kernel(spec):
                         * jnp.minimum(0.0, states[:, :, V_A]) ** 2,
                         axis=1)
 
-        # road-edge penalty
-        rp = ref_lerp(ref_line, ref_step, states[:, :, V_S])  # (C,T,·)
+        # road-edge penalty (channel-restricted lookups: per-element
+        # gathers are serial on TPU, so gather 2 channels, not 7)
+        s_ct = states[:, :, V_S]
+        dl_rp = _ref_ch_lerp(ref_line, ref_step, s_ct, 5)     # (C, T)
+        dr_rp = _ref_ch_lerp(ref_line, ref_step, s_ct, 6)
         margin = pp["width_veh"] / 2.0 * np.sqrt(2.0)
-        edge = (jnp.sum(states[:, :, V_L] > rp[..., 5] - margin, axis=1)
-                + jnp.sum(states[:, :, V_L] < -rp[..., 6] + margin,
+        edge = (jnp.sum(states[:, :, V_L] > dl_rp - margin, axis=1)
+                + jnp.sum(states[:, :, V_L] < -dr_rp + margin,
                           axis=1)).astype(f32)
 
         # on collision the reference skips distance/comfort/edge costs
@@ -798,9 +1136,9 @@ def make_idm_kernel(spec):
 
         def chunk(args):
             l_t, d_s = args
-            refs, cons = jax.vmap(lambda lt, ds: rollout(
-                init_ref, init_con, lt, ds, dt_replan, ref_line,
-                ref_step, linestrip, objs, pp))(l_t, d_s)
+            refs, cons = rollout_lanes(
+                init_ref, init_con, l_t, d_s, dt_replan, ref_line,
+                ref_step, linestrip, objs, pp)
             costs = evaluate_lanes(refs, cons, l_t, objs, ref_line,
                                    ref_step, pp, l_trg_global)
             return refs, cons, costs
@@ -825,8 +1163,17 @@ def make_idm_kernel(spec):
     @jax.jit
     def run_rollout(init_ref, init_con, l_trgs, d_stops, dt_replan,
                     ref_line, ref_step, objs, pp):
-        """Rollout stage alone (profiling/bisection surface, used by
-        tools/roofline.py)."""
+        """Lanes rollout stage alone (profiling/bisection surface, used
+        by tools/roofline.py)."""
+        return rollout_lanes(init_ref, init_con, l_trgs, d_stops,
+                             dt_replan, ref_line, ref_step,
+                             ref_line[:, :2], objs, pp)
+
+    @jax.jit
+    def run_rollout_ref(init_ref, init_con, l_trgs, d_stops, dt_replan,
+                        ref_line, ref_step, objs, pp):
+        """Per-candidate vmap rollout: the reference oracle the lanes
+        form is validated against (tests/test_idm_kernel.py)."""
         linestrip = ref_line[:, :2]
         return jax.vmap(lambda lt, ds: rollout(
             init_ref, init_con, lt, ds, dt_replan, ref_line, ref_step,
@@ -842,6 +1189,7 @@ def make_idm_kernel(spec):
             ref_states, states, l_trgs)
 
     run.rollout = run_rollout
+    run.rollout_ref = run_rollout_ref
     run.evaluate_ref = run_evaluate_ref
     run.evaluate = jax.jit(evaluate_lanes)
     return run
