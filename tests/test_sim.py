@@ -166,3 +166,38 @@ def test_intersection_loop_off_road_known_fail():
     stays reproducible like jungingen_right."""
     _run_scenario("test/intersection_loop", "path_vel_decomp_planner",
                   max_t=2.0)
+
+
+def test_unknown_active_planner_latches_emergency():
+    """An unknown active-planner selector must not leave the stale
+    trajectory in the store (the vehicle would silently keep tracking
+    it and drift off the road): the planning app publishes an
+    emergency trajectory — routed to ConstAccController, the same
+    degrade path used on device loss — until a valid name is set."""
+    from tpl_tpu.simulation import SimStandalone
+
+    np.random.seed(0)
+    app_id = uuid.uuid4().hex[:8]
+    sim = SimStandalone(app_id=app_id,
+                        scenario_path="demo/leader_brake")
+    with sim.planning_app.sh_planners.lock():
+        sim.planning_app.sh_planners.active_planner = "no_such_planner"
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+    for _ in range(3):
+        sim.update()
+    with sim.planning_app.sh_planners.lock():
+        assert sim.planning_app.sh_planners.trajectory.emergency
+    # selecting a real planner recovers: a fresh plan replaces the latch
+    with sim.planning_app.sh_planners.lock():
+        sim.planning_app.sh_planners.active_planner = \
+            "path_vel_decomp_planner"
+    for _ in range(20):
+        sim.update()
+        with sim.planning_app.sh_planners.lock():
+            if not sim.planning_app.sh_planners.trajectory.emergency:
+                break
+    with sim.planning_app.sh_planners.lock():
+        assert not sim.planning_app.sh_planners.trajectory.emergency

@@ -51,8 +51,14 @@ def run_seed(seed, planner=None, max_t=35.0):
         ss.settings.use_real_time = False
         ss.settings.reload_if_finished = False
         ss.rule_checker.enable = True
-    if planner:
+    if planner and planner != "default":
         with sim.planning_app.sh_planners.lock():
+            known = sim.planning_app.sh_planners.planner_names
+            if planner not in known:
+                raise SystemExit(
+                    f"unknown planner {planner!r}; known: {known} "
+                    "(use 'default' or omit --planner for the "
+                    "scenario default)")
             sim.planning_app.sh_planners.active_planner = planner
 
     hist = []

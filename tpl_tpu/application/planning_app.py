@@ -28,6 +28,7 @@ class PlanningApp:
         self.env = shared_env
         self.last_time = 0.0
         self.last_active_planner = ""
+        self._warned_unknown = None
 
         self.sh_planners = StoreRegistry.get(f"/{app_id}tpl_planning")
         with self.sh_planners.lock():
@@ -81,8 +82,22 @@ class PlanningApp:
             self.last_active_planner = name
 
         planner = self.registry.get(name)
-        trajectory = None if planner is None \
-            else self._run_planner(name, planner)
+        if planner is None and name:
+            # An unknown selector must not leave the stale trajectory
+            # in the store (the vehicle would keep tracking it and
+            # drift): publish an emergency trajectory — routed to
+            # ConstAccController — until a valid planner is selected.
+            if name != self._warned_unknown:
+                print(f"[planning] unknown active planner {name!r} "
+                      f"(known: {sorted(self.planners)}); latching "
+                      "emergency until a valid planner is selected",
+                      flush=True)
+                self._warned_unknown = name
+            trajectory = Trajectory()
+            trajectory.emergency = True
+        else:
+            trajectory = None if planner is None \
+                else self._run_planner(name, planner)
 
         # prefer the planner's own (device-side) timing when it has one
         runtime = getattr(planner, "runtime", None)
