@@ -5,7 +5,9 @@ The solver-core analog of the reference's genopt crane demo (reference:
 library/tpl/optim/examples/crane_2d/main.py): cart + pendulum payload,
 move to a target with minimal swing under control limits.
 
-Run: python examples/crane_2d.py
+Run: python examples/crane_2d.py          (headless solve)
+     python examples/crane_2d.py --gui    (interactive browser view:
+     drag the target / rope length, tweak weights, simulate)
 """
 
 import os
@@ -54,7 +56,7 @@ def make_problem():
     return prob, spec
 
 
-def main():
+def make_solver():
     prob, spec = make_problem()
     opt = Solver(prob, spec, horizon_max=100)
     opt.horizon = 100
@@ -63,7 +65,52 @@ def main():
     opt.u_min[:] = -2.0
     opt.u_max[:] = 2.0
     opt.x[0] = [0.0, 0.0, 0.0, 0.0]
+    return opt
 
+
+def crane_scene(opt):
+    """Plot geometry for the interactive view: fading payload
+    trajectory, cart marker, rope line (the reference's crane figure,
+    crane_2d/main.py:136-151)."""
+    import numpy as np
+    r = np.asarray(opt.x[:, 0])
+    a = np.asarray(opt.x[:, 2])
+    L = opt.params.rope_len
+    xe, ye = r + L * np.sin(a), -L * np.cos(a)
+    return [
+        {"kind": "line", "xy": np.column_stack([xe, ye]).tolist(),
+         "color": "#ec5", "fade": True},
+        {"kind": "line", "xy": [[r[0], 0.0], [xe[0], ye[0]]],
+         "color": "#6ac", "size": 2},
+        {"kind": "points", "xy": [[r[0], 0.0]], "color": "#6ac",
+         "size": 5},
+        {"kind": "points", "xy": [[xe[0], ye[0]]], "color": "#ec5",
+         "size": 4},
+    ]
+
+
+def serve_gui(port=8024):
+    """Interactive browser view: drag the target point / rope-length
+    line, tweak weights, toggle receding-horizon simulation (the
+    reference's imviz loop, crane_2d/main.py:123-186)."""
+    from tpl_tpu.gui.optim_view import OptimView, Handle
+
+    opt = make_solver()
+    handles = [
+        Handle("target_position", "point",
+               get=lambda o: (o.params.p_trg, 0.0),
+               set=lambda o, x, y: setattr(o.params, "p_trg", x)),
+        Handle("rope_length", "hline",
+               get=lambda o: (0.0, -o.params.rope_len),
+               set=lambda o, x, y: setattr(o.params, "rope_len",
+                                           max(0.5, -y))),
+    ]
+    OptimView(opt, scene=crane_scene, handles=handles,
+              title="crane_2d", port=port).serve_forever()
+
+
+def main():
+    opt = make_solver()
     opt.update()
 
     print(f"solved in {opt.runtime:.1f} ms, cost {opt.traj_costs:.3f}")
@@ -75,4 +122,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--gui" in sys.argv:
+        serve_gui()
+    else:
+        main()

@@ -4,9 +4,10 @@ Simple vehicle trajectory optimization example.
 The solver-core analog of the reference's genopt demo (reference:
 library/tpl/optim/examples/simple_vehicle/main.py): define a kinematic
 bicycle problem as plain JAX functions, solve a receding-horizon tracking
-task, print the result (no GUI; plots saved when matplotlib is available).
+task, print the result (plots saved when matplotlib is available).
 
-Run: python examples/simple_vehicle.py
+Run: python examples/simple_vehicle.py          (headless solve)
+     python examples/simple_vehicle.py --gui    (interactive browser view)
 """
 
 import os
@@ -52,7 +53,7 @@ def make_problem():
     return prob, spec
 
 
-def main():
+def make_solver():
     prob, spec = make_problem()
     opt = Solver(prob, spec, horizon_max=80)
     opt.horizon = 80
@@ -67,7 +68,35 @@ def main():
     opt.params.ref_x = ss
     opt.params.ref_y = 4.0 * np.sin(ss * 0.08)
     opt.x[0] = [0.0, 2.0, 0.0, 5.0]
+    return opt
 
+
+def vehicle_scene(opt):
+    """Reference line + optimized path + ego marker for the
+    interactive view (``--gui``)."""
+    ref = np.column_stack([np.asarray(opt.params.ref_x),
+                           np.asarray(opt.params.ref_y)])
+    return [
+        {"kind": "line", "xy": ref[:120].tolist(), "color": "#888"},
+        {"kind": "line",
+         "xy": np.asarray(opt.x[:, :2]).tolist(), "color": "#ec5",
+         "size": 2},
+        {"kind": "points", "xy": [np.asarray(opt.x[0, :2]).tolist()],
+         "color": "#6ac", "size": 5},
+    ]
+
+
+def serve_gui(port=8025):
+    """Interactive browser view of the tracking problem — tweak
+    weights / target speed live, toggle receding-horizon simulation
+    (the imviz-example analog, see tpl_tpu/gui/optim_view.py)."""
+    from tpl_tpu.gui.optim_view import OptimView
+    OptimView(make_solver(), scene=vehicle_scene,
+              title="simple_vehicle", port=port).serve_forever()
+
+
+def main():
+    opt = make_solver()
     opt.update()
 
     print(f"solved in {opt.runtime:.1f} ms, cost {opt.traj_costs:.2f}")
@@ -89,4 +118,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--gui" in sys.argv:
+        serve_gui()
+    else:
+        main()

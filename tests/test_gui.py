@@ -393,3 +393,66 @@ def test_map_tile_background_layer(tmp_path):
     assert len(ax.images) == 0
     assert len(ax.lines) > 4
     plt.close(fig)
+
+
+def test_optim_view_interactive():
+    """Interactive optim-example GUI (reference:
+    library/tpl/optim/examples/crane_2d/main.py:123-186 — imviz loop
+    with draggable target, autogui params, simulate toggle): the HTTP
+    counterpart re-solves per poll, writes dragged handles into solver
+    params, and shifts the horizon when simulation is running."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "crane_2d_example", os.path.join(
+            os.path.dirname(__file__), "..", "examples", "crane_2d.py"))
+    crane = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(crane)
+
+    from tpl_tpu.gui.optim_view import OptimView, Handle
+
+    opt = crane.make_solver()
+    opt.max_iterations = 10          # keep the test fast
+    view = OptimView(
+        opt, scene=crane.crane_scene,
+        handles=[Handle("target_position", "point",
+                        get=lambda o: (o.params.p_trg, 0.0),
+                        set=lambda o, x, y: setattr(o.params,
+                                                    "p_trg", x))],
+        title="crane_2d", port=0).start()
+    try:
+        status, body = _get(view, "/")
+        assert status == 200 and b"canvas" in body
+
+        status, body = _get(view, "/state.json")
+        assert status == 200
+        st = json.loads(body)
+        assert st["title"] == "crane_2d"
+        assert st["runtime_ms"] > 0.0
+        assert st["handles"][0]["xy"][0] == st["params"]["p_trg"]
+        assert len(st["scene"]) == 4           # rope-end traj + crane
+        assert st["internals"]["horizon"] == 100
+
+        # dragging the target writes the param and moves the solution
+        assert _post(view, "/drag",
+                     {"name": "target_position",
+                      "x": 4.0, "y": 0.3}) == 200
+        st = json.loads(_get(view, "/state.json")[1])
+        assert st["params"]["p_trg"] == 4.0
+
+        # autogui analog: POST /set changes any scalar param
+        assert _post(view, "/set",
+                     {"name": "w_swing", "value": 3.5}) == 200
+        st = json.loads(_get(view, "/state.json")[1])
+        assert st["params"]["w_swing"] == 3.5
+
+        # simulate toggle: the horizon shifts between polls
+        assert _post(view, "/sim", {"running": True}) == 200
+        x0_before = json.loads(
+            _get(view, "/state.json")[1])["internals"]["x"][0]
+        x0_after = json.loads(
+            _get(view, "/state.json")[1])["internals"]["x"][0]
+        assert x0_before != x0_after
+    finally:
+        view.stop()

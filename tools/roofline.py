@@ -330,21 +330,28 @@ def main():
     kernels = []
     for name in KERNELS:
         print(f"# {name} ...", file=sys.stderr, flush=True)
-        r = None
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--kernel", name],
-                capture_output=True, text=True, timeout=1500)
-            line = [ln for ln in r.stdout.strip().splitlines()
-                    if ln.startswith("{")][-1]
-            kernels.append(derive(json.loads(line), peaks))
-        except (subprocess.TimeoutExpired, IndexError,
-                json.JSONDecodeError) as e:
-            print(f"# {name} FAILED: {e!r}; stderr:\n"
-                  + (r.stderr[-1500:] if r is not None else ""),
-                  file=sys.stderr, flush=True)
+        r, row = None, None
+        # two attempts: a faulted worker restarts between subprocesses,
+        # and the fault is intermittent (tunnel-timing dependent)
+        for attempt in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--kernel", name],
+                    capture_output=True, text=True, timeout=1500)
+                line = [ln for ln in r.stdout.strip().splitlines()
+                        if ln.startswith("{")][-1]
+                row = derive(json.loads(line), peaks)
+                break
+            except (subprocess.TimeoutExpired, IndexError,
+                    json.JSONDecodeError) as e:
+                print(f"# {name} attempt {attempt + 1} FAILED: {e!r}; "
+                      "stderr:\n"
+                      + (r.stderr[-1500:] if r is not None else ""),
+                      file=sys.stderr, flush=True)
+        if row is None:
             continue
+        kernels.append(row)
         print(f"# {name} done: {kernels[-1]['wall_ms']} ms",
               file=sys.stderr, flush=True)
 
