@@ -89,12 +89,22 @@ def _time_steady(call, out_select=lambda o: o, k_small=3, k_big=10,
         np.asarray(out_select(out))           # force execution + pull
         return time.perf_counter() - t0
     run(1)                                    # warm: compile + first exec
-    slopes = []
-    for _ in range(reps):
-        t_small = run(k_small)
-        t_big = run(k_big)
-        slopes.append((t_big - t_small) / (k_big - k_small))
-    return float(np.median(slopes))
+    # sub-ms kernels need enough dispatches for the slope to clear
+    # tunnel jitter; escalate K until the median slope is positive
+    for scale in (1, 4, 16):
+        ks, kb = k_small * scale, k_big * scale
+        slopes = []
+        for _ in range(reps):
+            t_small = run(ks)
+            t_big = run(kb)
+            slopes.append((t_big - t_small) / (kb - ks))
+        slope = float(np.median(slopes))
+        if slope > 0:
+            return slope
+    raise RuntimeError(
+        f"non-positive dispatch slope at K up to {kb}: wall noise "
+        "exceeds the kernel's per-dispatch time; measure on a quieter "
+        "link")
 
 
 def kernel_mpc(batch=2048, horizon=60):
@@ -283,6 +293,12 @@ def render_md(data):
         "",
         "- The VPU f32 peak is an estimate (no published vendor "
         "figure); %-of-peak-FLOPs scales accordingly.",
+        "- Wall times over THIS environment's shared tunneled chip "
+        "vary up to ~2.5x run-to-run (the IDM kernel measured 256, "
+        "596 and 644 ms/dispatch across three quiet-box runs; "
+        "`bench.py`'s committed forced rate corresponds to 212 ms). "
+        "Treat %-of-roofline as a lower bound and cross-read "
+        "throughput against BENCH_r04.json.",
         "- Planning-scale tensors (MBs, not GBs) fit in VMEM/caches: "
         "logical bytes overstate HBM traffic, so %-of-roofline is "
         "conservative (true attainable time is often lower-bounded by "
