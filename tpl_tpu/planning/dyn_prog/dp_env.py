@@ -67,8 +67,23 @@ def smooth_ref_velocity(v, a_min, a_max, j_min, j_max, step_size):
     return out
 
 
-def pack_ref_line(local_map, params):
-    """Pack the local map window into the 9-column device ref line."""
+def pack_ref_line(local_map, params, pad_to_multiple=64):
+    """Pack the local map window into the 9-column device ref line.
+
+    The row count is padded up to a multiple of ``pad_to_multiple``:
+    XLA recompiles the fused env-build+solve program for every new
+    ref-line length, and near the route end (or across junction map
+    switches) the sliding window shrinks row by row — measured as a
+    recompile per replan costing minutes each on the host backend
+    (jungingen_right seed 2 spent 205 s of wall between sim t=8 and
+    t=10 before this padding). Bucketing lengths to 64-row (32 m)
+    bands bounds recompiles to band crossings. The padding is a
+    straight zero-velocity continuation of the last row: it lies
+    beyond the grid's ``s_max`` (``device_inputs`` guarantees the true
+    window already covers ``s_max``), copies d_left/d_right so
+    ``fit_lateral_range`` sees the same extrema, and keeps v = 0 so
+    stop-at-route-end semantics hold even if read.
+    """
     n = len(local_map.path)
     rl = np.zeros((n, 9))
     rl[:, :6] = local_map.path
@@ -77,6 +92,19 @@ def pack_ref_line(local_map, params):
     rl[:, RL_V] = smooth_ref_velocity(
         rl[:, RL_V], params.a_min_v_ref, params.a_max_v_ref,
         params.j_min_v_ref, params.j_max_v_ref, local_map.step_size_ref)
+
+    cap = -(-n // pad_to_multiple) * pad_to_multiple
+    if cap > n:
+        step = local_map.step_size_ref
+        h = rl[-1, 2]
+        k = np.arange(1, cap - n + 1)
+        pad = np.repeat(rl[-1:], cap - n, axis=0)
+        pad[:, 0] = rl[-1, 0] + np.cos(h) * step * k
+        pad[:, 1] = rl[-1, 1] + np.sin(h) * step * k
+        pad[:, 3] = rl[-1, 3] + step * k       # arc length continues
+        pad[:, 4] = 0.0                        # straight: no curvature
+        pad[:, RL_V] = 0.0
+        rl = np.concatenate([rl, pad], axis=0)
     return rl
 
 

@@ -42,6 +42,10 @@ class Params:
         self.replan_time_step = 0.1
         self.dead_time = 0.0
         self.d_reinit = 2.0
+        # retry cadence while the emergency latch holds (see
+        # check_replan): bounded so a pinned latch cannot force a full
+        # env+solve on every 10 ms pass
+        self.emergency_retry_interval = 0.1
         self.cpp = LatLonParams()
 
 
@@ -385,7 +389,18 @@ class DpLatLonPlanner(BasePlanner):
         pol.tick_msg()
 
         if self.latch.active:
-            return True, True
+            # Emergency recovery retries at a bounded cadence, not the
+            # tick rate: while the latch holds, the published plan is
+            # already the emergency trajectory, and one 10 ms pass does
+            # not change the environment materially.  Ungated, a pinned
+            # latch (e.g. crossing traffic blocking every corridor at a
+            # junction for seconds — jungingen_right seed 2) forced a
+            # full env-build+DP-solve EVERY pass: measured 205 s of
+            # wall per 2 s of sim on the host path before this gate.
+            if pol.due(env.t, min(params.replan_time_step,
+                                  params.emergency_retry_interval)):
+                return True, True
+            return False, False
 
         if not veh.automated and env.t - pol.last_replan_time >= 1.0:
             self.latch.clear()
@@ -415,10 +430,18 @@ class DpLatLonPlanner(BasePlanner):
 
         # per-pass reaction to NEW threats without a device round trip:
         # conservative host screen of the stored plan against the latest
-        # predictions; a hit just forces the replan one pass early
-        if traj_collision_imminent(self.trajectory_np, env.predicted,
-                                   params.cpp.width_veh,
-                                   params.cpp.length_veh, env.t):
+        # predictions; a hit forces the replan early.  Bounded by the
+        # emergency cadence: a PERSISTENT threat (crossing traffic
+        # parked on the plan) must not force a full solve every pass —
+        # after the immediate first replan, retries add nothing within
+        # a period (reaction latency is solve-bound either way, and the
+        # reference's own reaction period is its 100 ms replan step)
+        if (pol.due(env.t, min(params.replan_time_step,
+                               params.emergency_retry_interval))
+                and traj_collision_imminent(
+                    self.trajectory_np, env.predicted,
+                    params.cpp.width_veh,
+                    params.cpp.length_veh, env.t)):
             return True, False
 
         return False, False

@@ -50,6 +50,7 @@ class Params:
         self.dist_path_fix = 1.0
 
         self.d_reinit = 2.0
+        self.emergency_retry_interval = 0.1
 
         self.cpp_lat = PolyLatParams()
         self.cpp_lon = LonParams()
@@ -344,9 +345,17 @@ class PolyLatDpLonPlanner(BasePlanner):
             return True, True
 
         reset_required = pol.reset_changed(env)
-        if (self.traj_lon is None or reset_required
-                or self.trajectory.emergency):
+        if self.traj_lon is None or reset_required:
             return True, True
+
+        if self.trajectory.emergency:
+            # bounded emergency-recovery cadence (see dp_lat_lon's
+            # check_replan): a pinned emergency must not force a full
+            # solve on every 10 ms pass
+            if pol.due(env.t, min(params.replan_time_step,
+                                  params.emergency_retry_interval)):
+                return True, True
+            return False, False
 
         if pol.off_plan_start(self.trajectory, veh, params.d_reinit):
             return True, True
