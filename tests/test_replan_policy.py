@@ -175,3 +175,47 @@ def test_trajectory_from_array():
     emg = trajectory_from_array(arr, emergency=True)
     assert emg.emergency
     np.testing.assert_array_equal(emg.x, np.zeros(1))
+
+
+def test_emergency_replans_are_cadence_bounded():
+    """A pinned emergency latch must retry at emergency_retry_interval,
+    not on every 10 ms pass: ungated it forced a full env-build+DP-solve
+    per pass (39 solves in one sim second on jungingen_right seed 2,
+    205 s of wall per 2 s of sim on the host path)."""
+    import uuid
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tpl_tpu.simulation import SimStandalone
+
+    np.random.seed(0)
+    sim = SimStandalone(app_id=uuid.uuid4().hex[:8],
+                        scenario_path="demo/leader_brake")
+    with sim.planning_app.sh_planners.lock():
+        sim.planning_app.sh_planners.active_planner = "dp_lat_lon_planner"
+    with sim.core.sh_state.lock():
+        ss = sim.core.sh_state.sim
+        ss.settings.running = True
+        ss.settings.use_real_time = False
+
+    planner = sim.planning_app.planners["dp_lat_lon_planner"]
+    for _ in range(30):                      # warm up to a first plan
+        sim.update()
+        if planner.traj_dp is not None:
+            break
+    assert planner.traj_dp is not None
+
+    marks = []
+    orig_mark = planner.policy.mark
+    planner.policy.mark = lambda t: (marks.append(t), orig_mark(t))
+
+    planner.latch.counter = 10 ** 6          # pin the emergency latch
+    for _ in range(50):                      # 0.5 s of sim at 10 ms
+        sim.update()
+
+    interval = min(0.1, 0.1)                 # emergency_retry_interval
+    # bounded cadence: at most ceil(0.5 / 0.1) + 1 retries, not 50
+    assert len(marks) <= 7, (
+        f"{len(marks)} replans in 0.5 s with the latch pinned — the "
+        "emergency cadence gate is not bounding retries")
+    for a, b in zip(marks, marks[1:]):
+        assert b - a > interval * 0.99
