@@ -61,6 +61,10 @@ class Params:
 
         self.d_reinit_lat = 0.2
         self.reinit_time = 1.0
+        # bounded emergency/imminent retry cadence (see dp_lat_lon's
+        # check_replan): a pinned emergency must not force a full
+        # solve on every 10 ms pass
+        self.emergency_retry_interval = 0.1
 
         self.lat_sampling = PolyLatParams()
         self.dyn_prog = LonParams()
@@ -166,9 +170,15 @@ class LatticePlanner(BasePlanner):
 
         reset_required = pol.reset_changed(env)
         if reset_required or self.traj_lon is None \
-                or self.dp_env.ref_line is None \
-                or self.trajectory.emergency:
+                or self.dp_env.ref_line is None:
             return True, False
+
+        if self.trajectory.emergency:
+            # bounded emergency-recovery cadence (dp_lat_lon pattern)
+            if pol.due(env.t, min(params.reinit_time,
+                                  params.emergency_retry_interval)):
+                return True, False
+            return False, False
 
         if pol.off_plan_lateral(util.project, self.path[:, :2],
                                 (veh.x, veh.y), params.d_reinit_lat):
@@ -184,9 +194,12 @@ class LatticePlanner(BasePlanner):
         # predictions; a hit pulls the next warm replan forward (the
         # reference's current_traj_valid device reeval is commented-out
         # WIP, lattice_planner.py:668-671)
-        if traj_collision_imminent(self.trajectory_np, env.predicted,
-                                   params.dyn_prog.width_veh,
-                                   params.dyn_prog.length_veh, env.t):
+        if (pol.due(env.t, min(params.reinit_time,
+                               params.emergency_retry_interval))
+                and traj_collision_imminent(
+                    self.trajectory_np, env.predicted,
+                    params.dyn_prog.width_veh,
+                    params.dyn_prog.length_veh, env.t)):
             return True, True
 
         return False, False
