@@ -236,6 +236,44 @@ def bench_rstp_replan_subprocess(timeout_s=600.0):
     raise RuntimeError("replan sub-bench failed:\n" + r.stderr[-2000:])
 
 
+# per-family bench adapters: where the replan cadence param lives, how a
+# completed replan is detected, and which stage runtimes the driver
+# records (the reference logs runtimes for every planner,
+# library/test/test_sim.py:80-105)
+_FAMILY = {
+    "dp_lat_lon_planner": dict(
+        params_sub="planner", cadence="replan_time_step",
+        marker=lambda p: p.policy.last_replan_time,
+        split=lambda p: {
+            "env_host_prep_ms": p.dp_env.runtime_environment,
+            "solve_ms": p.runtime_dp,
+            "smooth_ms": getattr(p, "runtime_smooth", 0.0)}),
+    "poly_lat_dp_lon_planner": dict(
+        params_sub="planner", cadence="replan_time_step",
+        marker=lambda p: p.policy.last_replan_time,
+        split=lambda p: {
+            "env_host_prep_ms": p.dp_env.runtime_environment,
+            "solve_ms": p.runtime_dp,
+            "smooth_ms": getattr(p, "runtime_smooth", 0.0)}),
+    "lattice_planner": dict(
+        params_sub="planner", cadence="reinit_time",
+        marker=lambda p: p.policy.last_replan_time,
+        split=lambda p: {
+            "env_host_prep_ms": p.dp_env.runtime_environment,
+            "solve_ms": p.runtime_dp}),
+    "dp_poly_planner": dict(
+        params_sub=None, cadence="replan_time",
+        marker=lambda p: p.behavior.last_replan_time,
+        split=lambda p: {
+            "env_host_prep_ms": p.runtime_environment,
+            "solve_ms": p.runtime_planning}),
+    "idm_sampling_planner": dict(
+        params_sub=None, cadence="replan_time",
+        marker=lambda p: p.last_update_time,
+        split=lambda p: {"solve_ms": p.runtime_planning}),
+}
+
+
 def bench_dp_replan(planner_name="dp_lat_lon_planner",
                     scenario="acc_2024/cv_3o", replans=100,
                     warmup_replans=10, replan_time_step=0.2):
@@ -269,6 +307,7 @@ def bench_dp_replan(planner_name="dp_lat_lon_planner",
     np.random.seed(0)
     from tpl_tpu.simulation import SimStandalone
 
+    fam = _FAMILY[planner_name]
     sim = SimStandalone(app_id="benchdp", scenario_path=scenario)
     with sim.planning_app.sh_planners.lock():
         sim.planning_app.sh_planners.active_planner = planner_name
@@ -280,20 +319,24 @@ def bench_dp_replan(planner_name="dp_lat_lon_planner",
 
     planner = sim.planning_app.planners[planner_name]
     with planner.lock_shared():
-        planner.shared.params.planner.replan_time_step = replan_time_step
-    policy = planner.policy
-    dp_env = planner.dp_env
+        pbundle = planner.shared.params
+        if fam["params_sub"] is not None:
+            pbundle = getattr(pbundle, fam["params_sub"])
+        # tighten the cadence only (more samples per scenario pass);
+        # never slow a planner that already replans faster
+        cadence = min(replan_time_step, getattr(pbundle, fam["cadence"]))
+        setattr(pbundle, fam["cadence"], cadence)
 
-    wall, env_ms, solve_ms, smooth_ms = [], [], [], []
+    wall, splits = [], []
     warmed = 0
-    ticks_per_replan = max(1, int(round(replan_time_step / 0.01)))
+    ticks_per_replan = max(1, int(round(cadence / 0.01)))
     max_ticks = 2 * ticks_per_replan * (warmup_replans + replans) + 500
     for _ in range(max_ticks):
         # the sim pipeline, opened up so ONLY the planning stage is
         # timed (physics/perception/control stay out of the numbers)
         sim_state = sim._step_physics(None)
         vehicle = sim._step_perception(sim_state.t)
-        before = policy.last_replan_time
+        before = fam["marker"](planner)
         t0 = time.perf_counter()
         trajectory = sim._step_planning()
         dt_ms = (time.perf_counter() - t0) * 1e3
@@ -302,7 +345,7 @@ def bench_dp_replan(planner_name="dp_lat_lon_planner",
         if sim_state.finished:
             break                         # one scenario pass only
 
-        if policy.last_replan_time == before:
+        if fam["marker"](planner) == before:
             continue                      # not a replan pass
         if warmed < warmup_replans:
             warmed += 1
@@ -313,25 +356,24 @@ def bench_dp_replan(planner_name="dp_lat_lon_planner",
                 gc.freeze()
             continue
         wall.append(dt_ms)
-        env_ms.append(dp_env.runtime_environment)
-        solve_ms.append(planner.runtime_dp)
-        smooth_ms.append(getattr(planner, "runtime_smooth", 0.0))
+        splits.append(fam["split"](planner))
         if len(wall) >= replans:
             break
     gc.unfreeze()
 
+    if not wall:
+        raise RuntimeError(f"no replans observed for {planner_name} "
+                           f"on {scenario}")
     wall = np.array(wall)
     return {
         "planner": planner_name,
         "scenario": scenario,
         "replans": len(wall),
+        "cadence_s": cadence,
         "mean_ms": round(float(np.mean(wall)), 2),
         "p99_ms": round(float(np.percentile(wall, 99)), 2),
-        "split": {
-            "env_host_prep_ms": round(float(np.mean(env_ms)), 2),
-            "solve_ms": round(float(np.mean(solve_ms)), 2),
-            "smooth_ms": round(float(np.mean(smooth_ms)), 2),
-        },
+        "split": {k: round(float(np.mean([s[k] for s in splits])), 2)
+                  for k in splits[0]} if splits else {},
     }
 
 
@@ -461,7 +503,10 @@ def main():
     dp = {}
     for planner, key in (("dp_lat_lon_planner", "dp_replan"),
                          ("poly_lat_dp_lon_planner",
-                          "poly_lat_dp_lon_replan")):
+                          "poly_lat_dp_lon_replan"),
+                         ("lattice_planner", "lattice_replan"),
+                         ("dp_poly_planner", "dp_poly_replan"),
+                         ("idm_sampling_planner", "idm_sampling_replan")):
         try:
             host = bench_dp_replan_subprocess(planner, cpu=True)
             dp[f"{key}_mean_ms"] = host["mean_ms"]
@@ -498,6 +543,15 @@ def main():
         # (reference default replan_time_step = 0.5), so a replan must
         # fit in its own period
         "dp_replan_budget_ms": 500.0,
+        # per-family cadence budgets: each family's replan must fit in
+        # its own production replan period (driver defaults)
+        "family_budget_ms": {
+            "dp_replan": 500.0,            # replan_time_step 0.5
+            "poly_lat_dp_lon_replan": 500.0,
+            "lattice_replan": 1000.0,      # reinit_time 1.0
+            "dp_poly_replan": 1000.0,      # replan_time 1.0
+            "idm_sampling_replan": 50.0,   # replan_time 0.05
+        },
         "loadavg_1m_at_start": round(loadavg_1m, 2),
         "platform": platform,
         "device": str(jax.devices()[0]),

@@ -212,7 +212,9 @@ def test_emergency_replans_are_cadence_bounded():
     for _ in range(50):                      # 0.5 s of sim at 10 ms
         sim.update()
 
-    interval = min(0.1, 0.1)                 # emergency_retry_interval
+    with planner.lock_shared():
+        p = planner.shared.params.planner
+        interval = min(p.replan_time_step, p.emergency_retry_interval)
     # bounded cadence: at most ceil(0.5 / 0.1) + 1 retries, not 50
     assert len(marks) <= 7, (
         f"{len(marks)} replans in 0.5 s with the latch pinned — the "

@@ -137,15 +137,22 @@ class OptimView:
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                if self.path == "/set":
-                    view.set_param(req["name"], req["value"])
-                elif self.path == "/drag":
-                    view.drag(req["name"], req["x"], req["y"])
-                elif self.path == "/sim":
-                    view.sim_running = bool(req.get("running"))
-                else:
-                    self._send(404, b"{}")
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/set":
+                        view.set_param(req["name"], req["value"])
+                    elif self.path == "/drag":
+                        if not view.drag(req["name"], req["x"], req["y"]):
+                            self._send(404, b'{"error": "no such handle"}')
+                            return
+                    elif self.path == "/sim":
+                        view.sim_running = bool(req.get("running"))
+                    else:
+                        self._send(404, b"{}")
+                        return
+                except (KeyError, TypeError, ValueError) as e:
+                    self._send(400, json.dumps(
+                        {"error": f"bad request: {e}"}).encode())
                     return
                 self._send(200, b"{}")
 

@@ -31,14 +31,17 @@ def normalize_angle(a):
 
 
 def short_angle_dist(a0, a1):
-    """Shortest signed angular distance from a0 to a1.
+    """Shortest signed angular distance from a0 to a1, in [-pi, pi).
 
     (reference: library/tpl/optim/templates/optim.c:332-338 shortAngleDist)
-    """
+    Implemented as the single-mod form ``mod(da + pi, 2pi) - pi``, which
+    is the identical function to the reference's double-mod form in
+    exact arithmetic but has no float32 cancellation catastrophe: the
+    double-mod rounds ``mod(-1e-9, 2pi)`` to exactly 2pi in f32, making
+    the result -2pi instead of ~0 — measured as spurious +-2pi
+    curvature spikes in the fused lateral-path splice."""
     xp = _xp(a0, a1)
-    m = 2 * np.pi
-    da = xp.mod(a1 - a0, m)
-    return xp.mod(2 * da, m) - da
+    return xp.mod((a1 - a0) + np.pi, 2 * np.pi) - np.pi
 
 
 def _interp_indices(x0, dx, x, size, xp):

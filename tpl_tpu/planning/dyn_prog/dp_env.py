@@ -79,10 +79,12 @@ def pack_ref_line(local_map, params, pad_to_multiple=64):
     t=10 before this padding). Bucketing lengths to 64-row (32 m)
     bands bounds recompiles to band crossings. The padding is a
     straight zero-velocity continuation of the last row: it lies
-    beyond the grid's ``s_max`` (``device_inputs`` guarantees the true
-    window already covers ``s_max``), copies d_left/d_right so
-    ``fit_lateral_range`` sees the same extrema, and keeps v = 0 so
-    stop-at-route-end semantics hold even if read.
+    beyond the grid's ``s_max`` — ``DpEnvironment.device_inputs``
+    enforces that the TRUE (unpadded) window covers ``s_max`` via the
+    ``true_rows`` count recorded in ``set_ref_line``, so padded rows
+    can never substitute for missing map geometry — copies
+    d_left/d_right so ``fit_lateral_range`` sees the same extrema, and
+    keeps v = 0 so stop-at-route-end semantics hold even if read.
     """
     n = len(local_map.path)
     rl = np.zeros((n, 9))
@@ -212,6 +214,7 @@ class DpEnv:
         self.ref_line = None
         self.ref_line_shift = 0.0
         self.ref_line_step_size = 0.0
+        self.ref_line_true_rows = 0
 
         self.dt_start = None
         self.last_update_time = 0.0
@@ -249,6 +252,7 @@ class DpEnv:
                                    * self.ref_line_step_size)
 
         self.ref_line = pack_ref_line(env.local_map, params)
+        self.ref_line_true_rows = len(env.local_map.path)
         self.ref_line_step_size = env.local_map.step_size_ref
 
         if mark_conflict_zones(self.ref_line,
@@ -258,7 +262,8 @@ class DpEnv:
     def build_grids(self, env, params, defer_device=False):
         start = time.perf_counter()
         self.cpp_env.reinit_buffers(params.cpp)
-        self.cpp_env.set_ref_line(self.ref_line, self.ref_line_step_size)
+        self.cpp_env.set_ref_line(self.ref_line, self.ref_line_step_size,
+                                  true_rows=self.ref_line_true_rows)
         for quads, stationary in collect_prediction_sweeps(env, params):
             self.cpp_env.insert_geometry(quads, stationary)
         if not defer_device:

@@ -360,6 +360,7 @@ class DpEnvironment:
         self.params = DpEnvParams()
         self.ref_line = None        # host numpy (N, 8), offset-centered
         self.ref_step = 0.5
+        self.true_rows = 0          # unpadded rows (see set_ref_line)
         self.grid = None            # DpEnvGrid (device arrays)
         self._quads = []            # list of (quad, t_idx, stationary)
         # f32 precision: UTM coordinates are offset-centered like the
@@ -371,10 +372,17 @@ class DpEnvironment:
         self.params = params
         self._quads = []
 
-    def set_ref_line(self, ref_line, step_size):
+    def set_ref_line(self, ref_line, step_size, true_rows=None):
         """ref_line: (N, >=9) array [x, y, heading, s, k, v, d_left,
-        d_right, semantic] (dp_env.py layout)."""
+        d_right, semantic] (dp_env.py layout).
+
+        ``true_rows``: number of leading rows that carry real map
+        geometry when the tail is synthetic padding (dp_env.py
+        pack_ref_line pads to recompile-bucket lengths); the coverage
+        check in :meth:`device_inputs` runs against this count so padding
+        cannot silently substitute for a too-short map window."""
         rl = np.asarray(ref_line, dtype=np.float64)
+        self.true_rows = len(rl) if true_rows is None else int(true_rows)
         self.x_offset = float(np.mean(rl[:, 0]))
         self.y_offset = float(np.mean(rl[:, 1]))
         out = np.zeros((len(rl), 8), dtype=np.float32)
@@ -411,9 +419,12 @@ class DpEnvironment:
         p = self.params
         if self.ref_line is None:
             raise RuntimeError("set_ref_line before update")
-        if len(self.ref_line) * self.ref_step < p.s_max:
+        # coverage is checked against the TRUE (unpadded) window: padded
+        # rows are fabricated straight-road continuation and must never
+        # satisfy this invariant (see set_ref_line)
+        if self.true_rows * self.ref_step < p.s_max:
             raise RuntimeError(
-                f"refline length = {len(self.ref_line) * self.ref_step}"
+                f"refline length = {self.true_rows * self.ref_step}"
                 f" < environment s_max = {p.s_max}")
 
         Q = self.MAX_QUADS

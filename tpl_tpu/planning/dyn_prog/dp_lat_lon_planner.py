@@ -430,14 +430,13 @@ class DpLatLonPlanner(BasePlanner):
 
         # per-pass reaction to NEW threats without a device round trip:
         # conservative host screen of the stored plan against the latest
-        # predictions; a hit forces the replan early.  Bounded by the
-        # emergency cadence: a PERSISTENT threat (crossing traffic
-        # parked on the plan) must not force a full solve every pass —
-        # after the immediate first replan, retries add nothing within
-        # a period (reaction latency is solve-bound either way, and the
-        # reference's own reaction period is its 100 ms replan step)
-        if (pol.due(env.t, min(params.replan_time_step,
-                               params.emergency_retry_interval))
+        # predictions; a hit forces the replan early.  Rate-limited on
+        # the screen's OWN clock (imminent_due): a PERSISTENT threat
+        # (crossing traffic parked on the plan) must not force a full
+        # solve every pass, and the gate must stay reachable between
+        # regular replans — due(last_replan_time, replan_time_step)
+        # would be shadowed by the cadence check above
+        if (pol.imminent_due(env.t, params.emergency_retry_interval)
                 and traj_collision_imminent(
                     self.trajectory_np, env.predicted,
                     params.cpp.width_veh,

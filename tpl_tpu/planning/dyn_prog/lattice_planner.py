@@ -193,9 +193,11 @@ class LatticePlanner(BasePlanner):
         # conservative host screen of the stored plan against the latest
         # predictions; a hit pulls the next warm replan forward (the
         # reference's current_traj_valid device reeval is commented-out
-        # WIP, lattice_planner.py:668-671)
-        if (pol.due(env.t, min(params.reinit_time,
-                               params.emergency_retry_interval))
+        # WIP, lattice_planner.py:668-671).  Rate-limited on the
+        # screen's own clock so a persistent threat cannot force a
+        # solve every pass (see ReplanPolicy.imminent_due)
+        if (pol.imminent_due(env.t, min(params.reinit_time,
+                                        params.emergency_retry_interval))
                 and traj_collision_imminent(
                     self.trajectory_np, env.predicted,
                     params.dyn_prog.width_veh,

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from tpl_tpu import util
 from tpl_tpu.util import Bundle
-from tpl_tpu.ops import curv_to_vel_profile, rampify_profile
 from tpl_tpu.ops.interp import lerp_xs
 from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
@@ -31,9 +30,12 @@ from tpl_tpu.planning.dyn_prog.lon_kernel import (
     LC_CONSTR, PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST,
 )
 from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
-    PolyLatParams, PolyLatPlannerJax, PolyLatTraj,
+    PolyLatParams, PolyLatTraj, pack_env_pp,
     TC_T, TC_L, TC_DL, TC_DDL, TC_DDDL, TC_S, TC_V, TC_X, TC_Y, TC_H,
     TC_DIST, TC_K,
+)
+from tpl_tpu.planning.dyn_prog.poly_chain_kernel import (
+    make_poly_chain, KEEP_CAP,
 )
 from tpl_tpu.util import snapshot
 
@@ -87,10 +89,9 @@ class PolyLatDpLonPlanner(BasePlanner):
         self.poly_lat_start = dict(l=0.0, dl=0.0, ddl=0.0, s=0.0, v=0.0)
         self.dp_lon_start = np.zeros(7)
 
-        self.poly_lat = PolyLatPlannerJax()
-        self._lon_solver = None
-        self._lon_reeval = None
-        self._lon_spec = None
+        self._lat_stage = None
+        self._lon_stage = None
+        self._chain_spec = None
         self._chain_warmed = False
 
         self.runtime_dp = 0.0
@@ -132,99 +133,128 @@ class PolyLatDpLonPlanner(BasePlanner):
             sh_params = snapshot(params)
         return sh_params
 
-    def _get_lon(self, cpp):
-        spec = dict(t_steps=cpp.t_steps, s_steps=cpp.s_steps,
-                    v_steps=cpp.v_steps, a_steps=cpp.a_steps,
-                    path_steps=cpp.path_steps)
-        if self._lon_spec != spec:
-            self._lon_solver, self._lon_reeval = lk.make_lon_solver(spec)
-            self._lon_spec = spec
-            self._chain_warmed = False    # new program: re-warm the chain
-        return self._lon_solver, self._lon_reeval
-
-    def _path_dist_sl(self, cpp_lon):
-        """Frenet (s, l) of the path at each lon grid s index."""
-        S = cpp_lon.s_steps
-        dists = np.arange(S) * cpp_lon.s_step
-        a = dists / cpp_lon.path_step_size
-        i0 = np.clip(np.floor(a).astype(int), 0, len(self.path) - 1)
-        i1 = np.clip(np.ceil(a).astype(int), 0, len(self.path) - 1)
-        al = np.clip(a - i0, 0.0, 1.0)[:, None]
-        interp = self.path[i0] * (1.0 - al) + self.path[i1] * al
-        return interp[:, [PC_S, PC_L]]
+    def _get_chain(self, cpp_lat, cpp_lon, env_params):
+        spec = dict(s_steps=cpp_lat.s_steps,
+                    l_dst_steps=cpp_lat.l_dst_steps,
+                    s_dst_steps=cpp_lat.s_dst_steps,
+                    t_steps_env=env_params.t_steps,
+                    s_steps_env=env_params.s_steps,
+                    l_steps_env=env_params.l_steps,
+                    t_steps=cpp_lon.t_steps, s_steps_lon=cpp_lon.s_steps,
+                    v_steps=cpp_lon.v_steps, a_steps=cpp_lon.a_steps,
+                    path_steps=cpp_lon.path_steps)
+        if self._chain_spec != spec:
+            self._lat_stage, self._lon_stage = make_poly_chain(spec)
+            self._chain_spec = spec
+            self._chain_warmed = False    # new programs: re-warm
+        return self._lat_stage, self._lon_stage
 
     # ------------------------------------------------------------------
 
     def update_planner(self, env, params):
         """(poly_lat_dp_lon_planner.py:133-184)
 
-        One replan pass = two device round trips: grid build + poly-lat
-        sweep chain asynchronously (the only sync is the tiny candidate
-        cost/collision pull inside poly_lat.update), then dist-map-path +
-        lon DP solve chain with one trajectory pull at the end."""
+        One replan pass = three async device dispatches (env grid build,
+        lateral stage, longitudinal stage) and exactly ONE host sync: a
+        single batched pull of the new lateral points, resampled path,
+        lon trajectory and selection metadata at the end — the fused
+        pipeline shape of the reference's GPU chain
+        (poly_lat_planner.cu:365-440 + lon_planner.cu:328), rebuilt as
+        chained XLA programs with device-resident intermediates (see
+        poly_chain_kernel.py)."""
         start = time.perf_counter()
+        cpp_lat = params.cpp_lat
+        cpp_lon = params.cpp_lon
+        cppe = self.dp_env.cpp_env
 
-        # deferred env grid build (dp_env.update(..., defer_device=True));
-        # dispatches async and feeds the poly-lat kernel device-resident
-        self.dp_env.cpp_env.update()
+        # dispatch 1: env grid build (its own executable — fusing it
+        # into a solve program faults the TPU runtime, see
+        # lat_lon_kernel.make_latlon_replan)
+        cppe.update()
         if not self._chain_warmed:
             # first replan: sync between chained programs so no stage's
             # compilation overlaps another's execution (compile-during-
-            # execute crashes the tunneled TPU worker, see
-            # lat_lon_kernel.make_latlon_replan)
-            jax.block_until_ready(self.dp_env.cpp_env.grid.occ_map)
+            # execute crashes the tunneled TPU worker)
+            jax.block_until_ready(cppe.grid.occ_map)
 
-        self.poly_lat.reinit_buffers(params.cpp_lat)
-        new_traj_lat = self.poly_lat.update(self.poly_lat_start,
-                                            self.dp_env.cpp_env)
+        lat_stage, lon_stage = self._get_chain(cpp_lat, cpp_lon,
+                                               cppe.params)
+        x_off, y_off = cppe.x_offset, cppe.y_offset
 
-        if self.traj_lat is None:
-            self.traj_lat = new_traj_lat
-        else:
-            self.traj_lat.insert_after_station(self.poly_lat_start["s"],
-                                               new_traj_lat)
+        # host-known inputs of the device chain: the splice prefix (the
+        # previous lateral trajectory's points below the splice station
+        # — the same predicate insert_after_station applies on the host
+        # copy), the lateral start state, and the previous trajectory
+        # point for the lon start projection
+        s0 = self.poly_lat_start["s"]
+        old_pts = np.zeros((KEEP_CAP, 12), np.float32)
+        n_keep = 0
+        if self.traj_lat is not None:
+            keep = self.traj_lat.points[
+                self.traj_lat.points[:, TC_S] < s0]
+            if len(keep) > KEEP_CAP:
+                keep = keep[-KEEP_CAP:]
+            n_keep = len(keep)
+            kp = keep.astype(np.float32)
+            kp[:, TC_X] -= x_off
+            kp[:, TC_Y] -= y_off
+            old_pts[:n_keep] = kp
 
-        # resample lateral trajectory into the lon planner's path
-        cpp_lon = params.cpp_lon
-        dists = np.arange(0.0, cpp_lon.path_steps * cpp_lon.path_step_size,
-                          cpp_lon.path_step_size)
-        lat = self.traj_lat.lerp(dists)
-        # PathState columns [x, y, s, l, k, v_max, distance]
-        self.path = lat[:, [TC_X, TC_Y, TC_S, TC_L, TC_K, TC_V, TC_DIST]]
-
-        self.path[:, PC_VMAX] = curv_to_vel_profile(
-            self.path[:, PC_K], self.path[:, PC_VMAX],
-            params.cpp_lat.a_lat_abs_max)
-        self.path[:, PC_VMAX] = rampify_profile(
-            None, None, self.path[:, PC_VMAX],
-            cpp_lon.a_min, cpp_lon.a_max, cpp_lon.j_min, cpp_lon.j_max,
-            1.0, 1.0)[:, 0]
-
-        # project previous trajectory point onto the new path
+        start_vec = np.array([
+            self.poly_lat_start["l"], self.poly_lat_start["dl"],
+            self.poly_lat_start["ddl"], s0, self.poly_lat_start["v"]],
+            np.float32)
         self.traj_point_prev = np.array([
             lerp_xs(env.t + params.dead_time, self.trajectory_np[:, 0],
                     self.trajectory_np[:, 2]),
             lerp_xs(env.t + params.dead_time, self.trajectory_np[:, 0],
                     self.trajectory_np[:, 3])])
-        path_proj = util.project(self.path[:, :2], self.traj_point_prev)
-        self.dp_lon_start[LC_S] = path_proj.arc_len
+        prev_pt = (self.traj_point_prev
+                   - np.array([x_off, y_off])).astype(np.float32)
 
-        solver, _ = self._get_lon(cpp_lon)
-        dist_path = self.dp_env.cpp_env.update_dist_map_path(
-            self._path_dist_sl(cpp_lon))
+        # dispatch 2: lateral stage
+        new_pts_d, _merged_d, path_d, il_d, isd_d, cost_d = lat_stage(
+            cppe.grid.occ_map, cppe.grid.ref_line,
+            jnp.float32(cppe.ref_step), cpp_lat.packed(),
+            pack_env_pp(cppe.params), cpp_lon.packed(),
+            jnp.asarray(start_vec), jnp.asarray(old_pts),
+            jnp.int32(n_keep))
         if not self._chain_warmed:
-            jax.block_until_ready(dist_path)
+            jax.block_until_ready(path_d)
+
+        # dispatch 3: longitudinal stage
+        pe = cppe.params
+        env_scalars = np.array([pe.s_min, pe.s_step_size, pe.l_min,
+                                pe.l_step_size], np.float32)
+        traj_d, arc_d = lon_stage(
+            cppe.grid.occ_map, path_d, jnp.asarray(env_scalars),
+            cpp_lon.packed(), jnp.asarray(self.dp_lon_start, jnp.float32),
+            jnp.asarray(prev_pt))
+        if not self._chain_warmed:
+            jax.block_until_ready(traj_d)
             self._chain_warmed = True
 
-        # offset path x/y for the device (f32) frame
-        dev_path = self.path.copy()
-        dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
-        dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
+        # the ONE host sync of the replan: a single batched pull
+        new_pts, path, _il, _isd, cost, traj, arc = jax.device_get(
+            (new_pts_d, path_d, il_d, isd_d, cost_d, traj_d, arc_d))
 
-        _nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
-                              cpp_lon.packed(),
-                              jnp.asarray(self.dp_lon_start, jnp.float32))
-        self.traj_lon = np.asarray(traj, dtype=np.float64)
+        # host bookkeeping from the pulled results (world frame)
+        pts = new_pts.astype(np.float64)
+        pts[:, TC_X] += x_off
+        pts[:, TC_Y] += y_off
+        new_traj_lat = PolyLatTraj(pts)
+        new_traj_lat.update_time_dist_curv()
+        new_traj_lat.cost = float(cost)
+        if self.traj_lat is None:
+            self.traj_lat = new_traj_lat
+        else:
+            self.traj_lat.insert_after_station(s0, new_traj_lat)
+
+        self.path = path.astype(np.float64)
+        self.path[:, PC_X] += x_off
+        self.path[:, PC_Y] += y_off
+        self.dp_lon_start[LC_S] = float(arc)
+        self.traj_lon = traj.astype(np.float64)
 
         # milliseconds, matching the reference's runtime_dp semantics
         # (dp_lat_lon_planner.py:138-140) and the sibling drivers
@@ -374,10 +404,15 @@ class PolyLatDpLonPlanner(BasePlanner):
 
         # per-pass reaction to NEW threats without a device round trip:
         # conservative host screen of the stored plan against the latest
-        # predictions; a hit just forces the replan one pass early
-        if traj_collision_imminent(self.trajectory_np, env.predicted,
-                                   params.cpp_lon.width_veh,
-                                   params.cpp_lon.length_veh, env.t):
+        # predictions; a hit just forces the replan one pass early.
+        # Rate-limited on the screen's own clock so a persistent threat
+        # cannot force a full solve every 10 ms pass (see
+        # ReplanPolicy.imminent_due)
+        if (pol.imminent_due(env.t, params.emergency_retry_interval)
+                and traj_collision_imminent(
+                    self.trajectory_np, env.predicted,
+                    params.cpp_lon.width_veh,
+                    params.cpp_lon.length_veh, env.t)):
             return True, False
 
         return False, False

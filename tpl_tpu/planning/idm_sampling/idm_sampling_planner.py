@@ -159,6 +159,10 @@ class IdmSamplingPlanner(BasePlanner):
         self.enable_reverse = False
 
         self.last_update_time = 0.0
+        # wall milliseconds of the last replan pass (reference parity:
+        # the reference logs runtimes for every planner,
+        # library/test/test_sim.py:80-105); consumed by bench.py
+        self.runtime_planning = 0.0
 
         self.trajectory = Trajectory()
         self.traj_np = None            # selected (T, 9) states
@@ -277,6 +281,7 @@ class IdmSamplingPlanner(BasePlanner):
             return self.trajectory
         self.last_update_time = env.t
         dt_replan = max(0.0, dt_replan)
+        replan_start = time.perf_counter()
 
         self.update_closest_inters_point(cmap, veh, params)
 
@@ -475,8 +480,11 @@ class IdmSamplingPlanner(BasePlanner):
             self.trajectory.emergency = True
             self.reset()
 
+        self.runtime_planning = (time.perf_counter() - replan_start) * 1e3
+
         with self.lock_shared():
             dbg = Bundle()
+            dbg.runtime_planning = self.runtime_planning
             dbg.costs = {k: v.tolist() for k, v in costs.items()}
             dbg.i_select = i_select
             dbg.l_trgs = l_trgs.tolist()

@@ -102,6 +102,7 @@ class ReplanPolicy:
     def __init__(self):
         self.reset_counter = 0
         self.last_replan_time = -1.0
+        self.last_imminent_time = -1.0
         self.reinit_msg = ""
         self._msg_passes = 0
 
@@ -129,6 +130,22 @@ class ReplanPolicy:
 
     def mark(self, t):
         self.last_replan_time = t
+
+    def imminent_due(self, t, interval):
+        """Rate limit for the per-pass imminent-collision screen, on its
+        OWN clock: gating the screen with :meth:`due` (shared
+        ``last_replan_time``) either lets a persistent threat force a
+        full solve every 10 ms pass (interval > replan period) or makes
+        the screen unreachable because the regular cadence check already
+        returned on the same condition (interval == replan period).  The
+        dedicated timestamp keeps the screen live between replans while
+        bounding it to one run per ``interval``.  Consumes the window on
+        True: callers run the screen at most once per interval."""
+        if t < self.last_imminent_time \
+                or t - self.last_imminent_time > interval:
+            self.last_imminent_time = t
+            return True
+        return False
 
     def off_plan_start(self, trajectory, veh, d_reinit):
         """Vehicle CoG strayed more than d_reinit from the stored plan's
