@@ -237,8 +237,54 @@ def make_lon_solver(spec):
                          + 0.5 * js[None, None, None, :] * dt * dt)
         an = a_g[..., None] + js[None, None, None, :] * dt
 
-        nn = trilerp(nodes_next, sn, jnp.broadcast_to(vn, sn.shape),
-                     jnp.broadcast_to(an, sn.shape), pp)      # (S,V,A,NB,4)
+        # Next-state trilinear value lookup with STRUCTURED indices
+        # (same rework as lat_lon_kernel.py:306-340): the s-coordinate is
+        # s + s_change where s_change and the (v, a) targets depend only
+        # on the (v, a, j) combo — so per combo the s-axis lookup is a
+        # uniform FRACTIONAL shift (two edge-clamped row shifts blended
+        # by a constant weight) and only the (v, a) corners are gathered,
+        # as whole-column moves contiguous in s.  Equivalent to
+        # trilerp(nodes_next, sn, vn, an) but without the 8-corner
+        # random gather over the full (S, V, A, NB) tensor — measured
+        # 25x faster per lon backward slice on TPU v5e (335 -> 13 ms
+        # for the full solve, tools/poly_chain_probe.py).
+        NP = V * A * NB
+        s_step_x = (pp["s_max"] - pp["s_min"]) / (S - 1)
+        f_c = (s_change[0] / s_step_x).reshape(NP)            # (NP,)
+        k_c = jnp.floor(f_c)
+        ax_c = f_c - k_c                                      # (P,)
+        k_c = k_c.astype(jnp.int32)
+
+        y = jnp.clip((vn[0] - pp["v_min"]) / (pp["v_max"] - pp["v_min"])
+                     * (V - 1), 0.0, V - 1.0).reshape(NP)
+        an_b = jnp.broadcast_to(an, (1, V, A, NB))
+        z = jnp.clip((an_b[0] - pp["a_min"]) / (pp["a_max"] - pp["a_min"])
+                     * (AL - 1), 0.0, AL - 1.0).reshape(NP)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        z0 = jnp.floor(z).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, V - 1)
+        z1 = jnp.minimum(z0 + 1, AL - 1)
+        ay = (y - y0)[None, :, None]
+        az = (z - z0)[None, :, None]
+
+        flat_va = nodes_next.reshape(S, V * A, 4)
+        g = lambda iy, iz: jnp.take(flat_va, iy * A + iz, axis=1)
+        c0 = g(y0, z0) * (1 - ay) + g(y1, z0) * ay            # (S, NP, 4)
+        c1 = g(y0, z1) * (1 - ay) + g(y1, z1) * ay
+        bl = c0 * (1 - az) + c1 * az                          # (S, NP, 4)
+
+        B = jnp.moveaxis(bl, 1, 0)                            # (NP, S, 4)
+        s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+        idx0 = jnp.clip(s_iota + k_c[:, None], 0, S - 1)
+        idx1 = jnp.clip(s_iota + k_c[:, None] + 1, 0, S - 1)
+        V0 = jnp.take_along_axis(B, idx0[:, :, None], axis=1)
+        V1 = jnp.take_along_axis(B, idx1[:, :, None], axis=1)
+        # upper-edge clamp: where s + f lands at/past the last row the
+        # original trilerp used ax = 0 (x clipped before floor)
+        ax_row = jnp.where(s_iota.astype(f32) + f_c[:, None] >= S - 1,
+                           0.0, ax_c[:, None])                # (NP, S)
+        nn = V0 * (1 - ax_row[..., None]) + V1 * ax_row[..., None]
+        nn = nn.reshape(V, A, NB, S, 4).transpose(3, 0, 1, 2, 4)
 
         cost = state_cost[..., None] + nn[..., 0]
         constr = state_constr[..., None] + nn[..., 1]
