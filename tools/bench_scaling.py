@@ -111,7 +111,15 @@ def compare_distributed(args):
     ``--batch-sweep`` sweeps per_device_batch across an operating curve:
     the process-boundary cost is fixed per step, so efficiency rises
     with batch; the curve shows where it crosses the 0.80 target.
+
+    Controls (round-5 hardening): every process is CPU-PINNED with
+    taskset — the 1-proc baseline to cores [0, dev_per_proc), each
+    2-proc rank to its own disjoint core set — so the scheduler cannot
+    migrate ranks onto shared cores mid-run; each batch point runs
+    ``--reps`` independent 1-proc/2-proc pairs and reports the
+    per-point min/median spread alongside the median efficiency.
     """
+    import shutil
     import socket
     import subprocess
 
@@ -121,6 +129,15 @@ def compare_distributed(args):
                     XLA_FLAGS="--xla_force_host_platform_device_count="
                               f"{dev_per_proc}")
     me = os.path.abspath(__file__)
+
+    have_taskset = shutil.which("taskset") is not None
+
+    def pin(core_lo, core_hi):
+        """taskset prefix pinning to cores [core_lo, core_hi)."""
+        if not have_taskset:
+            return []
+        return ["taskset", "-c",
+                ",".join(str(c) for c in range(core_lo, core_hi))]
 
     def parse(stdout, stderr):
         for line in reversed(stdout.strip().splitlines()):
@@ -137,8 +154,12 @@ def compare_distributed(args):
                   "--iters", str(args.iters),
                   "--max-iterations", str(args.max_iterations)]
 
+        # 1-proc baseline: pinned to the SAME number of cores as one
+        # 2-proc rank, for a fair per-process denominator
         r1 = subprocess.run(
-            [sys.executable, me, "--devices", str(dev_per_proc)] + common,
+            pin(0, dev_per_proc)
+            + [sys.executable, me, "--devices", str(dev_per_proc)]
+            + common,
             env=base_env, capture_output=True, text=True, timeout=1800)
         if r1.returncode != 0:
             raise RuntimeError(
@@ -151,9 +172,10 @@ def compare_distributed(args):
             port = s.getsockname()[1]
         coord = f"localhost:{port}"
         procs = [subprocess.Popen(
-            [sys.executable, me, "--coordinator", coord,
-             "--num-processes", "2", "--process-id", str(i),
-             "--devices", str(2 * dev_per_proc)] + common,
+            pin(i * dev_per_proc, (i + 1) * dev_per_proc)
+            + [sys.executable, me, "--coordinator", coord,
+               "--num-processes", "2", "--process-id", str(i),
+               "--devices", str(2 * dev_per_proc)] + common,
             env=base_env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True) for i in range(2)]
         try:
@@ -175,19 +197,32 @@ def compare_distributed(args):
     batches = args.batch_sweep or [args.per_device_batch]
     rows = []
     for b in batches:
-        t1, t2 = run_pair(b)
-        rows.append({"per_device_batch": b,
-                     "solves_per_s_1proc": round(t1, 1),
-                     "solves_per_s_2proc": round(t2, 1),
-                     "efficiency_2proc": round(t2 / (2.0 * t1), 3)})
-        print(f"# batch {b}: eff {rows[-1]['efficiency_2proc']}",
-              file=sys.stderr)
+        t1s, t2s, effs = [], [], []
+        for rep in range(args.reps):
+            t1, t2 = run_pair(b)
+            t1s.append(t1)
+            t2s.append(t2)
+            effs.append(t2 / (2.0 * t1))
+            print(f"# batch {b} rep {rep}: eff {effs[-1]:.3f}",
+                  file=sys.stderr)
+        rows.append({
+            "per_device_batch": b,
+            "reps": args.reps,
+            "solves_per_s_1proc": round(float(np.median(t1s)), 1),
+            "solves_per_s_1proc_min": round(float(np.min(t1s)), 1),
+            "solves_per_s_2proc": round(float(np.median(t2s)), 1),
+            "solves_per_s_2proc_min": round(float(np.min(t2s)), 1),
+            "efficiency_2proc": round(float(np.median(effs)), 3),
+            "efficiency_2proc_min": round(float(np.min(effs)), 3),
+            "efficiency_2proc_max": round(float(np.max(effs)), 3),
+        })
 
     best = max(rows, key=lambda r: r["efficiency_2proc"])
     out = {
         "metric": "distributed_per_process_efficiency",
         "dev_per_process": dev_per_proc,
         "platform": "cpu-virtual",
+        "cpu_pinned": have_taskset,
         "curve": rows,
         "best_efficiency_2proc": best["efficiency_2proc"],
         "best_per_device_batch": best["per_device_batch"],
@@ -216,6 +251,10 @@ def main():
     ap.add_argument("--batch-sweep", type=int, nargs="*", default=None,
                     help="with --compare-distributed: sweep per-device "
                          "batch sizes and report the efficiency curve")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="with --compare-distributed: independent "
+                         "repetitions per batch point (min/median "
+                         "reported)")
     args = ap.parse_args()
 
     if args.compare_distributed:
