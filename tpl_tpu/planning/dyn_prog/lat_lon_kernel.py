@@ -176,10 +176,14 @@ def _d_fwd_sweep(D_at, n2):
     return jnp.concatenate([center, left[..., 1:], right[..., 1:]], axis=-1)
 
 
-def make_latlon_solver(spec):
+def make_latlon_solver(spec, backward="xla"):
     """Build the jitted DP solve for static grid sizes.
 
     spec: dict with t_steps, s_steps, ds_steps, l_steps (static).
+    ``backward``: "xla" (whole-tensor shifted-row gathers, the default)
+    or "pallas" (hand-scheduled VMEM-resident action-min kernel,
+    latlon_pallas.py — the r5 experiment; same results up to argmin
+    tie order, A/B-measured by tools/pallas_latlon_ab.py).
     Returns solve(dist_map_lon, ref_line, ref_step, pp, x0) ->
     (nodes (T,S,DS,L,4), traj (T, 12)).
     """
@@ -389,6 +393,93 @@ def make_latlon_solver(spec):
                           state_constr + tot_constr,
                           dds_best, dl_best], axis=-1)
         return node.astype(f32)
+
+    # ---- pallas backward (the r5 hand-scheduling experiment) ----
+
+    if backward == "pallas":
+        from tpl_tpu.planning.dyn_prog import latlon_pallas as lp
+        _action_min = lp.make_action_min(spec)
+
+    def _pallas_tables(pp):
+        """Action-scalar tables for the pallas backward (param-only,
+        computed once per solve)."""
+        _ss, dss, _lls, s_step, ds_step, l_step = grids(pp)
+        dt = pp["dt"]
+        n2 = NB // 2
+        dds_s = pp["dds_min"] + (pp["dds_max"] - pp["dds_min"]) * \
+            jnp.arange(NB, dtype=f32) / (NB - 1)
+        dl_s = _dl_samples_backward(pp, n2)
+
+        s_change = jnp.maximum(
+            0.0, dss[:, None] * dt + 0.5 * dds_s[None, :] * dt * dt)
+        ks = jnp.clip(jnp.round(s_change / s_step), 0,
+                      lp.S_PAD - 257).astype(jnp.int32)
+        dsn = jnp.maximum(0.0, dss[:, None] + dds_s[None, :] * dt)
+        ids_ = jnp.clip(jnp.round((dsn - pp["ds_min"]) / ds_step),
+                        0, DS - 1).astype(jnp.int32)
+        kl = jnp.clip(jnp.round(dl_s * dt / l_step), -lp.L_PAD_LO,
+                      lp.L_PAD_LO).astype(jnp.int32)
+
+        l_change = dl_s * dt
+        slope = jnp.abs(l_change[None, None, :] / s_change[:, :, None])
+        ca = jnp.where(slope > pp["slope_abs_max"],
+                       jnp.abs(slope - pp["slope_abs_max"]) * 1000.0, 0.0)
+        ca = jnp.nan_to_num(ca, nan=0.0)                # (DS, NBdds, NBdl)
+
+        qdds = pp["w_dds"] * (dds_s * dt) ** 2
+        qdl = pp["w_dl"] * (dl_s * dt) ** 2
+        consts = jnp.stack([pp["gap_min"], pp["time_gap"],
+                            pp["w_safety_dist"], pp["w_ddds"],
+                            pp["w_ddl"]]).astype(f32)
+        return dict(ids=ids_, ks=ks, kl=kl, ca=ca.astype(f32),
+                    schg=s_change.astype(f32), qdds=qdds.astype(f32),
+                    qdl=qdl.astype(f32), dds_vals=dds_s,
+                    dl_vals=dl_s, dss=dss, consts=consts)
+
+    def _pad_ls(x_dls):
+        """(DS, L, S) -> (DS, 24, 256) edge-padded block layout."""
+        y = jnp.concatenate(
+            [x_dls, jnp.repeat(x_dls[:, -1:, :], 24 - L, axis=1)],
+            axis=1)
+        return jnp.concatenate(
+            [y, jnp.repeat(y[..., -1:], 256 - S, axis=-1)], axis=-1)
+
+    def backward_slice_pallas(nodes_next, i, dist_x, ref_line, ref_step,
+                              pp, tb):
+        from tpl_tpu.planning.dyn_prog import latlon_pallas as lp
+        ss, dss, lls, s_step, ds_step, l_step = grids(pp)
+        dt = pp["dt"]
+        t = pp["dt_start"] + (i - 1).astype(f32) * dt
+        t_idx = jnp.clip(i, 0, T - 1)
+
+        D_t = dist_x[t_idx]
+        rl_tex = _ref_tex(ref_line, ref_step, ss)
+        mean_dist = jnp.maximum(pp["length_veh"] * 0.5,
+                                dss[None, :, None] * dt)
+        mean_dist = jnp.broadcast_to(mean_dist, (S, DS, L))
+        mid_x, mid_y, mid_z = get_mid_grid(D_t, mean_dist, lls, l_step,
+                                           pp)
+        state_cost, state_constr = eval_state_grid(
+            t, ss, dss, lls, rl_tex, mid_x, mid_y, mid_z, pp)
+
+        n2 = NB // 2
+        dl_s = tb["dl_vals"]
+        il2 = jnp.clip(jnp.round(
+            (lls[:, None] + dl_s[None, :] * dt - pp["l_min"]) / l_step),
+            0, L - 1).astype(jnp.int32)
+        D_at = D_t[:, il2]
+        d_fwd = _d_fwd_sweep(D_at, n2) - pp["length_veh"] * 0.5
+
+        vals_pad = lp.pad_values(nodes_next, S, DS, L)
+        sc_p = _pad_ls(jnp.transpose(state_cost, (1, 2, 0)))
+        sv_p = _pad_ls(jnp.transpose(state_constr, (1, 2, 0)))
+        dfwd_p = lp.pad_sl(d_fwd, S, L)                  # (NB, 24, 256)
+
+        out = _action_min(vals_pad, sc_p, sv_p, dfwd_p, tb["ids"],
+                          tb["ks"], tb["kl"], tb["ca"], tb["schg"],
+                          tb["qdds"], tb["qdl"], tb["dds_vals"],
+                          tb["dl_vals"], tb["dss"], tb["consts"])
+        return lp.unpack_out(out, S, DS, L).astype(f32)
 
     def final_slice(dist_x, ref_line, ref_step, pp):
         """Slice T-1: state cost + finalState (lat_lon_planner.cu:66-78)."""
@@ -623,9 +714,18 @@ def make_latlon_solver(spec):
         # backward pass: slice T-1 (final), then T-2 .. 1
         nodes_final = final_slice(dist_x, ref_line, ref_step, pp)
 
-        def bwd(carry, i):
-            node = backward_slice(carry, i, dist_x, ref_line, ref_step, pp)
-            return node, node
+        if backward == "pallas":
+            tb = _pallas_tables(pp)
+
+            def bwd(carry, i):
+                node = backward_slice_pallas(carry, i, dist_x, ref_line,
+                                             ref_step, pp, tb)
+                return node, node
+        else:
+            def bwd(carry, i):
+                node = backward_slice(carry, i, dist_x, ref_line,
+                                      ref_step, pp)
+                return node, node
 
         idxs = jnp.arange(T - 2, 0, -1)
         _, nodes_seq = jax.lax.scan(bwd, nodes_final, idxs)
