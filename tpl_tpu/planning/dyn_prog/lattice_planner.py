@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from tpl_tpu import util
 from tpl_tpu.util import Bundle, snapshot
-from tpl_tpu.ops import curv_to_vel_profile, rampify_profile
 from tpl_tpu.ops.interp import lerp_xs
 from tpl_tpu.environment import EnvironmentState
 from tpl_tpu.planning.base_planner import BasePlanner
@@ -42,8 +41,11 @@ from tpl_tpu.planning.dyn_prog.lon_kernel import (
     PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST,
 )
 from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
-    PolyLatParams, PolyLatPlannerJax,
+    PolyLatParams, PolyLatTraj, pack_env_pp,
     TC_L, TC_DL, TC_DDL, TC_S, TC_V, TC_X, TC_Y, TC_H, TC_DIST, TC_K,
+)
+from tpl_tpu.planning.dyn_prog.poly_chain_kernel import (
+    make_poly_chain, KEEP_CAP,
 )
 
 
@@ -98,9 +100,9 @@ class LatticePlanner(BasePlanner):
         self.lat_start = dict(l=0.0, dl=0.0, ddl=0.0, s=0.0, v=0.0)
         self.lon_start = np.zeros(7)
 
-        self.poly_lat = PolyLatPlannerJax()
-        self._lon_solver = None
-        self._lon_spec = None
+        self._lat_stage = None
+        self._lon_stage = None
+        self._chain_spec = None
         self._chain_warmed = False
 
         self.runtime_dp = 0.0
@@ -135,15 +137,22 @@ class LatticePlanner(BasePlanner):
             sh_params = snapshot(params)
         return sh_params
 
-    def _get_lon(self, cpp):
-        spec = dict(t_steps=cpp.t_steps, s_steps=cpp.s_steps,
-                    v_steps=cpp.v_steps, a_steps=cpp.a_steps,
-                    path_steps=cpp.path_steps)
-        if self._lon_spec != spec:
-            self._lon_solver, _ = lk.make_lon_solver(spec)
-            self._lon_spec = spec
+    def _get_chain(self, cpp_lat, cpp_lon, env_params):
+        spec = dict(s_steps=cpp_lat.s_steps,
+                    l_dst_steps=cpp_lat.l_dst_steps,
+                    s_dst_steps=cpp_lat.s_dst_steps,
+                    t_steps_env=env_params.t_steps,
+                    s_steps_env=env_params.s_steps,
+                    l_steps_env=env_params.l_steps,
+                    t_steps=cpp_lon.t_steps, s_steps_lon=cpp_lon.s_steps,
+                    v_steps=cpp_lon.v_steps, a_steps=cpp_lon.a_steps,
+                    path_steps=cpp_lon.path_steps,
+                    rampify_step_path=True)
+        if self._chain_spec != spec:
+            self._lat_stage, self._lon_stage = make_poly_chain(spec)
+            self._chain_spec = spec
             self._chain_warmed = False
-        return self._lon_solver
+        return self._lat_stage, self._lon_stage
 
     def _path_dist_sl(self, cpp_lon):
         S = cpp_lon.s_steps
@@ -253,52 +262,73 @@ class LatticePlanner(BasePlanner):
 
     def update_planner(self, env, params):
         """One full replan: lateral sampling -> path resample + velocity
-        profile -> longitudinal DP (lattice_planner.py:155-247,566-580)."""
+        profile -> longitudinal DP (lattice_planner.py:155-247,566-580),
+        as the fused device chain (poly_chain_kernel.py): three async
+        dispatches, ONE batched host pull.  The lattice replan has no
+        near-path splice (the lateral trajectory is replaced wholesale
+        each reinit), so the splice prefix is empty."""
         start = time.perf_counter()
+        cpp_lat = params.lat_sampling
+        cpp_lon = params.dyn_prog
+        # the chain's velocity profile caps lateral acceleration from
+        # the lateral param set; mirror the driver-level knob into it
+        cpp_lat.a_lat_abs_max = params.a_lat_max
+        cppe = self.dp_env.cpp_env
 
-        self.dp_env.cpp_env.update()
+        cppe.update()
         if not self._chain_warmed:
             # first replan: sync between chained programs so no stage's
             # compilation overlaps another's execution (see
             # lat_lon_kernel.make_latlon_replan)
-            jax.block_until_ready(self.dp_env.cpp_env.grid.occ_map)
+            jax.block_until_ready(cppe.grid.occ_map)
 
-        self.poly_lat.reinit_buffers(params.lat_sampling)
-        self.traj_lat = self.poly_lat.update(self.lat_start,
-                                             self.dp_env.cpp_env)
-
-        cpp_lon = params.dyn_prog
-        dists = np.arange(0.0, cpp_lon.path_steps * cpp_lon.path_step_size,
-                          cpp_lon.path_step_size)
-        lat = self.traj_lat.lerp(dists)
-        self.path = lat[:, [TC_X, TC_Y, TC_S, TC_L, TC_K, TC_V, TC_DIST]]
-
-        self.path[:, PC_VMAX] = curv_to_vel_profile(
-            self.path[:, PC_K], self.path[:, PC_VMAX], params.a_lat_max)
-        self.path[:, PC_VMAX] = rampify_profile(
-            None, None, self.path[:, PC_VMAX],
-            cpp_lon.a_min, cpp_lon.a_max, cpp_lon.j_min, cpp_lon.j_max,
-            1.0, cpp_lon.path_step_size)[:, 0]
-
+        lat_stage, lon_stage = self._get_chain(cpp_lat, cpp_lon,
+                                               cppe.params)
+        x_off, y_off = cppe.x_offset, cppe.y_offset
         veh = env.vehicle_state
-        path_proj = util.project(self.path[:, :2], [veh.x, veh.y])
-        self.lon_start[LC_S] = path_proj.arc_len
 
-        solver = self._get_lon(cpp_lon)
-        dist_path = self.dp_env.cpp_env.update_dist_map_path(
-            self._path_dist_sl(cpp_lon))
+        start_vec = np.array([
+            self.lat_start["l"], self.lat_start["dl"],
+            self.lat_start["ddl"], self.lat_start["s"],
+            self.lat_start["v"]], np.float32)
+        old_pts = np.zeros((KEEP_CAP, 12), np.float32)
+        prev_pt = np.array([veh.x - x_off, veh.y - y_off], np.float32)
+
+        new_pts_d, _merged_d, path_d, il_d, isd_d, cost_d = lat_stage(
+            cppe.grid.occ_map, cppe.grid.ref_line,
+            jnp.float32(cppe.ref_step), cpp_lat.packed(),
+            pack_env_pp(cppe.params), cpp_lon.packed(),
+            jnp.asarray(start_vec), jnp.asarray(old_pts), jnp.int32(0))
         if not self._chain_warmed:
-            jax.block_until_ready(dist_path)
+            jax.block_until_ready(path_d)
+
+        pe = cppe.params
+        env_scalars = np.array([pe.s_min, pe.s_step_size, pe.l_min,
+                                pe.l_step_size], np.float32)
+        traj_d, arc_d = lon_stage(
+            cppe.grid.occ_map, path_d, jnp.asarray(env_scalars),
+            cpp_lon.packed(), jnp.asarray(self.lon_start, jnp.float32),
+            jnp.asarray(prev_pt))
+        if not self._chain_warmed:
+            jax.block_until_ready(traj_d)
             self._chain_warmed = True
 
-        dev_path = self.path.copy()
-        dev_path[:, PC_X] -= self.dp_env.cpp_env.x_offset
-        dev_path[:, PC_Y] -= self.dp_env.cpp_env.y_offset
+        # the ONE host sync of the replan
+        new_pts, path, _il, _isd, cost, traj, arc = jax.device_get(
+            (new_pts_d, path_d, il_d, isd_d, cost_d, traj_d, arc_d))
 
-        _nodes, traj = solver(dist_path, jnp.asarray(dev_path, jnp.float32),
-                              cpp_lon.packed(),
-                              jnp.asarray(self.lon_start, jnp.float32))
-        self.traj_lon = np.asarray(traj, dtype=np.float64)
+        pts = new_pts.astype(np.float64)
+        pts[:, TC_X] += x_off
+        pts[:, TC_Y] += y_off
+        self.traj_lat = PolyLatTraj(pts)
+        self.traj_lat.update_time_dist_curv()
+        self.traj_lat.cost = float(cost)
+
+        self.path = path.astype(np.float64)
+        self.path[:, PC_X] += x_off
+        self.path[:, PC_Y] += y_off
+        self.lon_start[LC_S] = float(arc)
+        self.traj_lon = traj.astype(np.float64)
 
         # milliseconds, matching the reference's runtime_dp semantics
         self.runtime_dp = (time.perf_counter() - start) * 1000.0

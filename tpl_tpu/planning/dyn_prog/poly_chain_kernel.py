@@ -293,6 +293,9 @@ def make_poly_chain(spec):
     SD = spec["s_dst_steps"]
     P = spec["path_steps"]
     S_LON = spec["s_steps_lon"]
+    # the FAS-2025 driver rampifies over a unit step (reference parity);
+    # the lattice driver uses the path step
+    rampify_step_path = bool(spec.get("rampify_step_path", False))
 
     evaluate = make_poly_lat_kernel(dict(
         s_steps=S_LAT, l_dst_steps=LD, s_dst_steps=SD,
@@ -327,8 +330,10 @@ def make_poly_chain(spec):
                                    TC_DIST])]
         v_prof = curv_vel_device(path[:, PC_K], path[:, PC_VMAX],
                                  ppd["a_lat_abs_max"])
+        ramp_step = ppn_d["path_step_size"] if rampify_step_path else 1.0
         v_prof = rampify_device(v_prof, ppn_d["a_min"], ppn_d["a_max"],
-                                ppn_d["j_min"], ppn_d["j_max"], 1.0, 1.0)
+                                ppn_d["j_min"], ppn_d["j_max"], 1.0,
+                                ramp_step)
         path = path.at[:, PC_VMAX].set(v_prof)
         return new_pts, merged, path, il, isd, cost
 
