@@ -17,7 +17,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-
 # lon state columns
 LC_T, LC_S, LC_V, LC_A, LC_J, LC_COST, LC_CONSTR = range(7)
 
@@ -136,7 +135,11 @@ def lon_traj_states(traj, ts):
 
 
 def make_lon_solver(spec):
-    """spec: t_steps, s_steps, v_steps, a_steps, path_steps (static)."""
+    """spec: t_steps, s_steps, v_steps, a_steps, path_steps (static);
+    optional vmax_slim (A/B knob: gather only the vmax channel in the
+    backward pass instead of full interp_path rows)."""
+    _VMAX_SLIM = bool(spec.get("vmax_slim", False))
+    _SKIP_FWD = bool(spec.get("skip_forward", False))   # profiling knob
     T = spec["t_steps"]
     S = spec["s_steps"]
     V = spec["v_steps"]
@@ -242,12 +245,14 @@ def make_lon_solver(spec):
         # s + s_change where s_change and the (v, a) targets depend only
         # on the (v, a, j) combo — so per combo the s-axis lookup is a
         # uniform FRACTIONAL shift (two edge-clamped row shifts blended
-        # by a constant weight) and only the (v, a) corners are gathered,
-        # as whole-column moves contiguous in s.  Equivalent to
-        # trilerp(nodes_next, sn, vn, an) but without the 8-corner
-        # random gather over the full (S, V, A, NB) tensor — measured
-        # 25x faster per lon backward slice on TPU v5e (335 -> 13 ms
-        # for the full solve, tools/poly_chain_probe.py).
+        # by a constant weight) and only the (v, a) corners need real
+        # lookups.  Equivalent to trilerp(nodes_next, sn, vn, an) but
+        # without the 8-corner random gather over the full (S, V, A, NB)
+        # tensor — measured 3.2x for the solve on TPU v5e (335 -> 105 ms
+        # lon stage, tools/poly_chain_probe.py).  Gather layout variants
+        # (middle-axis take, row-contiguous take, one-hot MXU
+        # contraction below) all land within noise of each other: the
+        # remaining per-slice cost is not the corner lookup.
         NP = V * A * NB
         s_step_x = (pp["s_max"] - pp["s_min"]) / (S - 1)
         f_c = (s_change[0] / s_step_x).reshape(NP)            # (NP,)
@@ -264,16 +269,27 @@ def make_lon_solver(spec):
         z0 = jnp.floor(z).astype(jnp.int32)
         y1 = jnp.minimum(y0 + 1, V - 1)
         z1 = jnp.minimum(z0 + 1, AL - 1)
-        ay = (y - y0)[None, :, None]
-        az = (z - z0)[None, :, None]
+        ay = (y - y0)[:, None, None]
+        az = (z - z0)[:, None, None]
 
-        flat_va = nodes_next.reshape(S, V * A, 4)
-        g = lambda iy, iz: jnp.take(flat_va, iy * A + iz, axis=1)
-        c0 = g(y0, z0) * (1 - ay) + g(y1, z0) * ay            # (S, NP, 4)
-        c1 = g(y0, z1) * (1 - ay) + g(y1, z1) * ay
-        bl = c0 * (1 - az) + c1 * az                          # (S, NP, 4)
-
-        B = jnp.moveaxis(bl, 1, 0)                            # (NP, S, 4)
+        # The (v, a)-corner bilerp is a 4-nonzero-per-row sparse matrix
+        # over the V*A table rows.  TPU gathers run on the slow
+        # element-at-a-time path (~5M elem/ms measured — both DP kernels
+        # sit at that floor regardless of gather layout), so express the
+        # bilerp as a dense one-hot contraction instead and let the MXU
+        # do the data movement: W (NP, V*A) @ table (V*A, S*4).
+        nodes_vas = jnp.transpose(nodes_next, (1, 2, 0, 3)) \
+            .reshape(V * A, S * 4)
+        iota_va = jnp.arange(V * A, dtype=jnp.int32)
+        wy0 = 1.0 - ay[:, 0, 0]
+        wz0 = 1.0 - az[:, 0, 0]
+        oh = lambda idx: (idx[:, None] == iota_va).astype(f32)
+        W = (oh(y0 * A + z0) * (wy0 * wz0)[:, None]
+             + oh(y1 * A + z0) * ((1 - wy0) * wz0)[:, None]
+             + oh(y0 * A + z1) * (wy0 * (1 - wz0))[:, None]
+             + oh(y1 * A + z1) * ((1 - wy0) * (1 - wz0))[:, None])
+        B = jnp.dot(W, nodes_vas,
+                    preferred_element_type=f32).reshape(NP, S, 4)
         s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
         idx0 = jnp.clip(s_iota + k_c[:, None], 0, S - 1)
         idx1 = jnp.clip(s_iota + k_c[:, None] + 1, 0, S - 1)
@@ -286,13 +302,29 @@ def make_lon_solver(spec):
         nn = V0 * (1 - ax_row[..., None]) + V1 * ax_row[..., None]
         nn = nn.reshape(V, A, NB, S, 4).transpose(3, 0, 1, 2, 4)
 
+        if spec.get("probe_stage") == "lookup":
+            # profiling probe: slice cost up to (and incl.) the value
+            # lookup only; cheap reduce keeps the carry shape
+            return jnp.concatenate(
+                [nn.mean(axis=3), jnp.zeros((S, V, A, 0), f32)], axis=-1)
+
         cost = state_cost[..., None] + nn[..., 0]
         constr = state_constr[..., None] + nn[..., 1]
         cost += pp["w_snap"] * (nn[..., 2] - js[None, None, None, :]) ** 2
         cost += pp["w_j"] * (js[None, None, None, :] * dt) ** 2
 
-        v_max_n = interp_path(path, sn.reshape(-1), pp)[:, PC_VMAX] \
-            .reshape(sn.shape)
+        if _VMAX_SLIM:
+            # gather ONLY the vmax channel (the full-row interp_path
+            # materializes a (S*V*A*NB, 7) intermediate for one column)
+            vmax_tab = path[:, PC_VMAX]
+            aq = sn / pp["path_step_size"]
+            q0 = jnp.clip(jnp.floor(aq), 0, P - 1).astype(jnp.int32)
+            q1 = jnp.clip(jnp.ceil(aq), 0, P - 1).astype(jnp.int32)
+            al_q = aq - q0
+            v_max_n = vmax_tab[q0] * (1.0 - al_q) + vmax_tab[q1] * al_q
+        else:
+            v_max_n = interp_path(path, sn.reshape(-1), pp)[:, PC_VMAX] \
+                .reshape(sn.shape)
         constr += jnp.maximum(0.0, vn - v_max_n)
         constr += jnp.maximum(0.0, s_change - s_dist[:, None, None, None])
         constr += jnp.maximum(0.0, pp["a_min"] - an)
@@ -414,6 +446,8 @@ def make_lon_solver(spec):
             tn = tn.at[LC_J].set(j)
             return tn, tp_out
 
+        if _SKIP_FWD:
+            return nodes, jnp.zeros((T, 7), f32)
         _, traj = jax.lax.scan(fwd, x0.astype(f32), jnp.arange(T))
         return nodes, traj
 
