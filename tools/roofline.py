@@ -315,6 +315,13 @@ def render_md(data):
                 "overhead).  The backward pass is 10 sequential "
                 "slices; the per-slice marginal cost is the structural "
                 "unit to optimize.", ""]
+        f = fl.get("gather_rate")
+        if f:
+            lines += [
+                f"**gather-unit rate** — random take_along_axis of "
+                f"{f['elements']} f32 elements: {f['wall_ms']} ms → "
+                f"{f['elements_per_ms']:.0f} elements/ms.  {f['note']}.",
+                ""]
         v = fl.get("idm_variance")
         if v:
             lines += [
@@ -499,11 +506,40 @@ def idm_variance(runs=5):
                 rollouts_per_s_max=round(16384 / min(walls), 1))
 
 
+def floor_gather():
+    """Raw gather-unit throughput of the chip: elements/ms for a random
+    take_along_axis at DP-kernel-like shapes.  Both DP kernels' backward
+    passes are bound by this rate, not HBM bandwidth — three gather
+    layout variants of the lon lookup (middle-axis take, row-contiguous
+    take, MXU one-hot contraction) landed within noise of each other
+    (lon_kernel.py:243), so the per-slice floor is structural."""
+    rng = np.random.default_rng(0)
+    rows, cols = 8192, 1024
+    src = jnp.asarray(rng.uniform(size=(rows, cols)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, rows, (rows, cols)), jnp.int32)
+
+    @jax.jit
+    def g(src, idx):
+        return jnp.take_along_axis(src, idx, axis=0)
+
+    compiled = g.lower(src, idx).compile()
+    wall = _time_steady(lambda: compiled(src, idx), lambda o: o[0, 0],
+                        k_small=2, k_big=6)
+    n = rows * cols
+    return dict(elements=n, wall_ms=round(wall * 1e3, 2),
+                elements_per_ms=round(n / (wall * 1e3), 0),
+                note="random take_along_axis over a (8192, 1024) f32 "
+                     "array; the DP kernels' per-slice lookup volumes "
+                     "divided by this rate reproduce their measured "
+                     "slice times")
+
+
 FLOORS = {
     "idm_floor": floor_idm,
     "mpc_floor": floor_mpc,
     "latlon_floor": floor_latlon,
     "idm_variance": idm_variance,
+    "gather_rate": floor_gather,
 }
 
 
