@@ -41,11 +41,11 @@ from tpl_tpu.planning.dyn_prog.lon_kernel import (
     PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST,
 )
 from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
-    PolyLatParams, PolyLatTraj, pack_env_pp,
+    PolyLatParams, PolyLatTraj,
     TC_L, TC_DL, TC_DDL, TC_S, TC_V, TC_X, TC_Y, TC_H, TC_DIST, TC_K,
 )
 from tpl_tpu.planning.dyn_prog.poly_chain_kernel import (
-    make_poly_chain, KEEP_CAP,
+    ChainRunner, KEEP_CAP,
 )
 
 
@@ -100,10 +100,8 @@ class LatticePlanner(BasePlanner):
         self.lat_start = dict(l=0.0, dl=0.0, ddl=0.0, s=0.0, v=0.0)
         self.lon_start = np.zeros(7)
 
-        self._lat_stage = None
-        self._lon_stage = None
-        self._chain_spec = None
-        self._chain_warmed = False
+        # lattice rampifies over the path step (reference parity)
+        self.chain = ChainRunner(rampify_step_path=True)
 
         self.runtime_dp = 0.0
 
@@ -136,23 +134,6 @@ class LatticePlanner(BasePlanner):
             params.dyn_prog.dt_start = params.dyn_prog.dt
             sh_params = snapshot(params)
         return sh_params
-
-    def _get_chain(self, cpp_lat, cpp_lon, env_params):
-        spec = dict(s_steps=cpp_lat.s_steps,
-                    l_dst_steps=cpp_lat.l_dst_steps,
-                    s_dst_steps=cpp_lat.s_dst_steps,
-                    t_steps_env=env_params.t_steps,
-                    s_steps_env=env_params.s_steps,
-                    l_steps_env=env_params.l_steps,
-                    t_steps=cpp_lon.t_steps, s_steps_lon=cpp_lon.s_steps,
-                    v_steps=cpp_lon.v_steps, a_steps=cpp_lon.a_steps,
-                    path_steps=cpp_lon.path_steps,
-                    rampify_step_path=True)
-        if self._chain_spec != spec:
-            self._lat_stage, self._lon_stage = make_poly_chain(spec)
-            self._chain_spec = spec
-            self._chain_warmed = False
-        return self._lat_stage, self._lon_stage
 
     def _path_dist_sl(self, cpp_lon):
         S = cpp_lon.s_steps
@@ -276,14 +257,6 @@ class LatticePlanner(BasePlanner):
         cppe = self.dp_env.cpp_env
 
         cppe.update()
-        if not self._chain_warmed:
-            # first replan: sync between chained programs so no stage's
-            # compilation overlaps another's execution (see
-            # lat_lon_kernel.make_latlon_replan)
-            jax.block_until_ready(cppe.grid.occ_map)
-
-        lat_stage, lon_stage = self._get_chain(cpp_lat, cpp_lon,
-                                               cppe.params)
         x_off, y_off = cppe.x_offset, cppe.y_offset
         veh = env.vehicle_state
 
@@ -294,28 +267,9 @@ class LatticePlanner(BasePlanner):
         old_pts = np.zeros((KEEP_CAP, 12), np.float32)
         prev_pt = np.array([veh.x - x_off, veh.y - y_off], np.float32)
 
-        new_pts_d, _merged_d, path_d, il_d, isd_d, cost_d = lat_stage(
-            cppe.grid.occ_map, cppe.grid.ref_line,
-            jnp.float32(cppe.ref_step), cpp_lat.packed(),
-            pack_env_pp(cppe.params), cpp_lon.packed(),
-            jnp.asarray(start_vec), jnp.asarray(old_pts), jnp.int32(0))
-        if not self._chain_warmed:
-            jax.block_until_ready(path_d)
-
-        pe = cppe.params
-        env_scalars = np.array([pe.s_min, pe.s_step_size, pe.l_min,
-                                pe.l_step_size], np.float32)
-        traj_d, arc_d = lon_stage(
-            cppe.grid.occ_map, path_d, jnp.asarray(env_scalars),
-            cpp_lon.packed(), jnp.asarray(self.lon_start, jnp.float32),
-            jnp.asarray(prev_pt))
-        if not self._chain_warmed:
-            jax.block_until_ready(traj_d)
-            self._chain_warmed = True
-
-        # the ONE host sync of the replan
-        new_pts, path, _il, _isd, cost, traj, arc = jax.device_get(
-            (new_pts_d, path_d, il_d, isd_d, cost_d, traj_d, arc_d))
+        new_pts, path, _il, _isd, cost, traj, arc = self.chain.replan(
+            cppe, cpp_lat, cpp_lon, start_vec, old_pts, 0,
+            self.lon_start, prev_pt)
 
         pts = new_pts.astype(np.float64)
         pts[:, TC_X] += x_off

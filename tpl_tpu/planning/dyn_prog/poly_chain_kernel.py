@@ -362,3 +362,71 @@ def make_poly_chain(spec):
         return traj, arc
 
     return lat_stage, lon_stage
+
+
+class ChainRunner:
+    """Shared driver-side front end over the fused chain: program cache
+    keyed on the grid spec, first-call warm syncs (compile-during-
+    execute crashes the tunneled TPU worker), the three async
+    dispatches and the single batched pull.  Used by both the FAS-2025
+    and lattice drivers (their replans differ only in the splice
+    prefix, the projection point and the rampify step)."""
+
+    def __init__(self, rampify_step_path=False):
+        self.rampify_step_path = rampify_step_path
+        self._lat_stage = None
+        self._lon_stage = None
+        self._spec = None
+        self.warmed = False
+
+    def get(self, cpp_lat, cpp_lon, env_params):
+        spec = dict(s_steps=cpp_lat.s_steps,
+                    l_dst_steps=cpp_lat.l_dst_steps,
+                    s_dst_steps=cpp_lat.s_dst_steps,
+                    t_steps_env=env_params.t_steps,
+                    s_steps_env=env_params.s_steps,
+                    l_steps_env=env_params.l_steps,
+                    t_steps=cpp_lon.t_steps,
+                    s_steps_lon=cpp_lon.s_steps,
+                    v_steps=cpp_lon.v_steps, a_steps=cpp_lon.a_steps,
+                    path_steps=cpp_lon.path_steps,
+                    rampify_step_path=self.rampify_step_path)
+        if self._spec != spec:
+            self._lat_stage, self._lon_stage = make_poly_chain(spec)
+            self._spec = spec
+            self.warmed = False
+        return self._lat_stage, self._lon_stage
+
+    def replan(self, cppe, cpp_lat, cpp_lon, start_vec, old_pts, n_keep,
+               x0, prev_pt):
+        """Run the full fused replan against a DpEnvironment whose env
+        grid build has already been dispatched (cppe.update()).
+        Returns the pulled (new_pts, path, il, isd, cost, traj, arc)."""
+        from tpl_tpu.planning.dyn_prog.poly_lat_kernel import pack_env_pp
+        lat_stage, lon_stage = self.get(cpp_lat, cpp_lon, cppe.params)
+        if not self.warmed:
+            jax.block_until_ready(cppe.grid.occ_map)
+
+        new_pts_d, _m, path_d, il_d, isd_d, cost_d = lat_stage(
+            cppe.grid.occ_map, cppe.grid.ref_line,
+            jnp.float32(cppe.ref_step), cpp_lat.packed(),
+            pack_env_pp(cppe.params), cpp_lon.packed(),
+            jnp.asarray(start_vec), jnp.asarray(old_pts),
+            jnp.int32(n_keep))
+        if not self.warmed:
+            jax.block_until_ready(path_d)
+
+        pe = cppe.params
+        env_scalars = np.array([pe.s_min, pe.s_step_size, pe.l_min,
+                                pe.l_step_size], np.float32)
+        traj_d, arc_d = lon_stage(
+            cppe.grid.occ_map, path_d, jnp.asarray(env_scalars),
+            cpp_lon.packed(), jnp.asarray(x0, jnp.float32),
+            jnp.asarray(prev_pt))
+        if not self.warmed:
+            jax.block_until_ready(traj_d)
+            self.warmed = True
+
+        # the ONE host sync of the replan: a single batched pull
+        return jax.device_get((new_pts_d, path_d, il_d, isd_d, cost_d,
+                               traj_d, arc_d))

@@ -30,12 +30,12 @@ from tpl_tpu.planning.dyn_prog.lon_kernel import (
     LC_CONSTR, PC_X, PC_Y, PC_S, PC_L, PC_K, PC_VMAX, PC_DIST,
 )
 from tpl_tpu.planning.dyn_prog.poly_lat_kernel import (
-    PolyLatParams, PolyLatTraj, pack_env_pp,
+    PolyLatParams, PolyLatTraj,
     TC_T, TC_L, TC_DL, TC_DDL, TC_DDDL, TC_S, TC_V, TC_X, TC_Y, TC_H,
     TC_DIST, TC_K,
 )
 from tpl_tpu.planning.dyn_prog.poly_chain_kernel import (
-    make_poly_chain, KEEP_CAP,
+    ChainRunner, KEEP_CAP,
 )
 from tpl_tpu.util import snapshot
 
@@ -89,10 +89,7 @@ class PolyLatDpLonPlanner(BasePlanner):
         self.poly_lat_start = dict(l=0.0, dl=0.0, ddl=0.0, s=0.0, v=0.0)
         self.dp_lon_start = np.zeros(7)
 
-        self._lat_stage = None
-        self._lon_stage = None
-        self._chain_spec = None
-        self._chain_warmed = False
+        self.chain = ChainRunner()
 
         self.runtime_dp = 0.0
 
@@ -133,22 +130,6 @@ class PolyLatDpLonPlanner(BasePlanner):
             sh_params = snapshot(params)
         return sh_params
 
-    def _get_chain(self, cpp_lat, cpp_lon, env_params):
-        spec = dict(s_steps=cpp_lat.s_steps,
-                    l_dst_steps=cpp_lat.l_dst_steps,
-                    s_dst_steps=cpp_lat.s_dst_steps,
-                    t_steps_env=env_params.t_steps,
-                    s_steps_env=env_params.s_steps,
-                    l_steps_env=env_params.l_steps,
-                    t_steps=cpp_lon.t_steps, s_steps_lon=cpp_lon.s_steps,
-                    v_steps=cpp_lon.v_steps, a_steps=cpp_lon.a_steps,
-                    path_steps=cpp_lon.path_steps)
-        if self._chain_spec != spec:
-            self._lat_stage, self._lon_stage = make_poly_chain(spec)
-            self._chain_spec = spec
-            self._chain_warmed = False    # new programs: re-warm
-        return self._lat_stage, self._lon_stage
-
     # ------------------------------------------------------------------
 
     def update_planner(self, env, params):
@@ -171,14 +152,6 @@ class PolyLatDpLonPlanner(BasePlanner):
         # into a solve program faults the TPU runtime, see
         # lat_lon_kernel.make_latlon_replan)
         cppe.update()
-        if not self._chain_warmed:
-            # first replan: sync between chained programs so no stage's
-            # compilation overlaps another's execution (compile-during-
-            # execute crashes the tunneled TPU worker)
-            jax.block_until_ready(cppe.grid.occ_map)
-
-        lat_stage, lon_stage = self._get_chain(cpp_lat, cpp_lon,
-                                               cppe.params)
         x_off, y_off = cppe.x_offset, cppe.y_offset
 
         # host-known inputs of the device chain: the splice prefix (the
@@ -212,31 +185,10 @@ class PolyLatDpLonPlanner(BasePlanner):
         prev_pt = (self.traj_point_prev
                    - np.array([x_off, y_off])).astype(np.float32)
 
-        # dispatch 2: lateral stage
-        new_pts_d, _merged_d, path_d, il_d, isd_d, cost_d = lat_stage(
-            cppe.grid.occ_map, cppe.grid.ref_line,
-            jnp.float32(cppe.ref_step), cpp_lat.packed(),
-            pack_env_pp(cppe.params), cpp_lon.packed(),
-            jnp.asarray(start_vec), jnp.asarray(old_pts),
-            jnp.int32(n_keep))
-        if not self._chain_warmed:
-            jax.block_until_ready(path_d)
-
-        # dispatch 3: longitudinal stage
-        pe = cppe.params
-        env_scalars = np.array([pe.s_min, pe.s_step_size, pe.l_min,
-                                pe.l_step_size], np.float32)
-        traj_d, arc_d = lon_stage(
-            cppe.grid.occ_map, path_d, jnp.asarray(env_scalars),
-            cpp_lon.packed(), jnp.asarray(self.dp_lon_start, jnp.float32),
-            jnp.asarray(prev_pt))
-        if not self._chain_warmed:
-            jax.block_until_ready(traj_d)
-            self._chain_warmed = True
-
-        # the ONE host sync of the replan: a single batched pull
-        new_pts, path, _il, _isd, cost, traj, arc = jax.device_get(
-            (new_pts_d, path_d, il_d, isd_d, cost_d, traj_d, arc_d))
+        # dispatches 2+3 and the single batched pull
+        new_pts, path, _il, _isd, cost, traj, arc = self.chain.replan(
+            cppe, cpp_lat, cpp_lon, start_vec, old_pts, n_keep,
+            self.dp_lon_start, prev_pt)
 
         # host bookkeeping from the pulled results (world frame)
         pts = new_pts.astype(np.float64)
