@@ -528,10 +528,15 @@ def floor_gather():
     n = rows * cols
     return dict(elements=n, wall_ms=round(wall * 1e3, 2),
                 elements_per_ms=round(n / (wall * 1e3), 0),
-                note="random take_along_axis over a (8192, 1024) f32 "
-                     "array; the DP kernels' per-slice lookup volumes "
-                     "divided by this rate reproduce their measured "
-                     "slice times")
+                note="fully-random take_along_axis over a (8192, 1024) "
+                     "f32 array — the WORST-case gather rate (~0.34 "
+                     "GB/s, ~2400x below HBM peak). The DP kernels' "
+                     "structured takes (shared row indices, contiguous "
+                     "moves) run orders of magnitude above this, which "
+                     "is exactly why the backward passes were rewritten "
+                     "as shifted-row/contraction lookups; their "
+                     "residual per-slice cost is the structured-move "
+                     "schedule, not this worst case")
 
 
 FLOORS = {
