@@ -9,13 +9,17 @@ Pallas variant swaps only the backward action-min
 (same value tables / trajectory), then both are timed with the
 pull-forced slope protocol.
 
-Usage: python -c "import runpy; runpy.run_path('tools/pallas_latlon_ab.py',
-                  run_name='__main__')"  (repo root on sys.path)
+Usage: python tools/pallas_latlon_ab.py
 Writes PALLAS_AB_r05.json.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -6,8 +6,12 @@ Prints one line per stage; used to attribute the replan latency between
 the env build, lateral stage, longitudinal stage and the tunnel RTT.
 """
 
-import time
+import os
 import sys
+import time
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
