@@ -378,28 +378,43 @@ def bench_dp_replan(planner_name="dp_lat_lon_planner",
 
 
 def bench_dp_replan_subprocess(planner_name, cpu, scenario="acc_2024/cv_3o",
-                               timeout_s=1200.0):
+                               timeout_s=1200.0, attempts=2,
+                               retry_cooldown_s=150.0):
     """DP replan bench in a fresh process (same rationale as the RSTP
     sub-bench: the planner runs as its own process in deployment).  With
     ``cpu=True`` the child is pinned to the host backend — the host leg
     of the latency split; otherwise it uses the default device (the
-    tunneled TPU here), measuring the dispatch-inclusive device leg."""
+    tunneled TPU here), measuring the dispatch-inclusive device leg.
+
+    Device legs retry once after a cooldown: the tunneled TPU worker
+    intermittently crashes on the DP solve programs (the same fault
+    tools/roofline.py isolates per kernel) and restarts between
+    subprocesses."""
     env = dict(os.environ)
     if cpu:
         env["JAX_PLATFORMS"] = "cpu"
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--dp-replan-only",
-         "--planner", planner_name, "--scenario", scenario],
-        capture_output=True, timeout=timeout_s, text=True, env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-    for line in reversed(r.stdout.strip().splitlines()):
-        try:
-            d = json.loads(line)
-            if "p99_ms" in d:
-                return d
-        except json.JSONDecodeError:
-            continue
-    raise RuntimeError("dp replan sub-bench failed:\n" + r.stderr[-2000:])
+    last_err = ""
+    for attempt in range(attempts if not cpu else 1):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--dp-replan-only",
+             "--planner", planner_name, "--scenario", scenario],
+            capture_output=True, timeout=timeout_s, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if "p99_ms" in d:
+                    return d
+            except json.JSONDecodeError:
+                continue
+        last_err = r.stderr[-2000:]
+        if attempt + 1 < attempts and not cpu:
+            print(f"WARNING: {planner_name} device leg attempt "
+                  f"{attempt + 1} failed; cooling down "
+                  f"{retry_cooldown_s:.0f}s for the tunnel worker",
+                  file=sys.stderr)
+            time.sleep(retry_cooldown_s)
+    raise RuntimeError("dp replan sub-bench failed:\n" + last_err)
 
 
 def bench_rstp_replan(iters=300, warmup=40):
